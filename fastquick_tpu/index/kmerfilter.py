@@ -1,0 +1,201 @@
+"""Rolling-hash k-mer read filter (host build; device query in ops/kmer.py).
+
+Equivalent of the reference's six "shrinkage" bitmap tables
+(src/BwtIndexer.h:262-315 KmerShrinkage; src/BwtIndexer.cpp:555-567
+InitializeRollHashTable, :611-713 AddSeq2HashCore, :871-885 Fa2Pac calls).
+
+Each 32-mer of every marker flank (forward AND reverse-complement strand,
+with BOTH alleles substituted at the center base) is projected six ways
+down to 32 bits and the corresponding bit set in a 4^16-bit (512 MiB)
+bitmap per projection.  A read passes if its first three non-overlapping
+32-mers accumulate >= thresh (default 3) table hits
+(IsReadInHashByCountMoreChunck, src/BwtIndexer.cpp:~498-516).
+
+Faithfully replicated quirks:
+- N bases feed the 64-bit rolling kmer as value 4 (0b100), spilling a bit
+  into the neighboring base's field -- same arithmetic here.
+- The reverse-complement strand substitutes the UNCOMPLEMENTED ref/alt
+  characters at the center index (Fa2Pac passes the same `alleles` vector
+  for both strands).
+- Kmers are inserted for the left flank, 32 center-spanning windows per
+  allele, then the right flank continuing from the LAST allele's register.
+
+Storage: we persist the SET of distinct projected values per table (sorted
+uint32) rather than raw 512 MiB bitmaps -- markers set only ~10M of 4.3G
+bits, so this is ~100x smaller on disk; bitmaps are reconstructed on load.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .seq import NT4_TABLE, reverse_complement_str
+
+KMER_SIZE = 32
+N_TABLES = 6
+TABLE_BITS = 32  # projected space is 2^32 bits = 512 MiB bitmap
+DEFAULT_THRESH = 3
+
+_U64 = np.uint64
+
+
+def kmer_shrinkage(kmers: np.ndarray, table: int) -> np.ndarray:
+    """Vectorized 6-way projection (BwtIndexer.h:262-315)."""
+    k = kmers.astype(_U64)
+    if table == 0:
+        return ((k & _U64(0xFFFFFFFF00000000)) >> _U64(32)).astype(np.uint32)
+    if table == 1:
+        return (k & _U64(0xFFFFFFFF)).astype(np.uint32)
+    if table == 2:
+        return (((k & _U64(0xFFFF000000000000)) >> _U64(32))
+                | (k & _U64(0xFFFF))).astype(np.uint32)
+    if table == 3:
+        return ((k & _U64(0x0000FFFFFFFF0000)) >> _U64(16)).astype(np.uint32)
+    if table == 4:
+        return (((k & _U64(0xFFFF000000000000)) >> _U64(32))
+                | ((k & _U64(0xFFFF0000)) >> _U64(16))).astype(np.uint32)
+    if table == 5:
+        return (((k & _U64(0xFFFF00000000)) >> _U64(16))
+                | (k & _U64(0xFFFF))).astype(np.uint32)
+    raise ValueError(f"unknown table {table}")
+
+
+def _register_stream(codes: np.ndarray) -> np.ndarray:
+    """Sequential rolling register after consuming codes[0..i] for each i
+    (64-bit wraparound), matching ``datum = (datum << 2) | v``."""
+    c = codes.astype(_U64)
+    regs = np.zeros(len(c), dtype=_U64)
+    r = _U64(0)
+    for i in range(len(c)):
+        r = _U64((int(r) << 2 | int(c[i])) & 0xFFFFFFFFFFFFFFFF)
+        regs[i] = r
+    return regs
+
+
+def register_stream_vec(codes: np.ndarray) -> np.ndarray:
+    """Vectorized register stream: reg[i] = OR_j codes[i-j] << 2j for
+    j < 32.  Exactly equals the sequential ``(reg << 2) | v`` fold: each
+    value v <= 4 spans bits [0,2], so v's bit 2 overlaps the next value's
+    field, and the sequential semantics combine overlaps with OR -- we
+    replicate with OR-accumulation (uint64 shift wraparound included)."""
+    n = len(codes)
+    c = codes.astype(_U64)
+    acc = np.zeros(n, dtype=_U64)
+    for j in range(KMER_SIZE):
+        # value consumed j steps ago sits at bit offset 2j
+        sh = np.zeros(n, dtype=_U64)
+        sh[j:] = c[: n - j] << _U64(2 * j)
+        acc |= sh
+    return acc
+
+
+class KmerFilterBuilder:
+    """Accumulates distinct projected kmer values per table."""
+
+    def __init__(self, thresh: int = DEFAULT_THRESH):
+        self.thresh = thresh
+        self._sets: list[set[int]] = [set() for _ in range(N_TABLES)]
+
+    def add_seq(self, seq: str, alleles: tuple[str, str]) -> None:
+        """AddSeq2Hash for one contig: forward strand then reverse
+        complement, same (uncomplemented) alleles for both."""
+        self._add_one_strand(seq, alleles)
+        self._add_one_strand(reverse_complement_str(seq), alleles)
+
+    def _add_one_strand(self, seq: str, alleles: tuple[str, str]) -> None:
+        codes = NT4_TABLE[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+        n = len(codes)
+        half = n // 2
+        if n < KMER_SIZE:
+            return
+        regs = register_stream_vec(codes)
+        inserted: list[np.ndarray] = []
+        # Phase 1: kmers ending at i for i in [31, half)
+        end = min(half, n)
+        if end > KMER_SIZE - 1:
+            inserted.append(regs[KMER_SIZE - 1:end])
+        # Phase 2: per allele, windows ending at [half, half+32)
+        last_regs = None
+        base_reg = int(regs[half - 1]) if half >= 1 else 0
+        for al in alleles:
+            r = base_reg
+            vals = []
+            for j in range(half, min(half + KMER_SIZE, n)):
+                v = int(NT4_TABLE[ord(al)]) if j == half else int(codes[j])
+                r = ((r << 2) | v) & 0xFFFFFFFFFFFFFFFF
+                vals.append(r)
+            last_regs = (r, min(half + KMER_SIZE, n))
+            if vals:
+                inserted.append(np.array(vals, dtype=_U64))
+        # Phase 3: continue from last allele's register
+        if last_regs is not None:
+            r, start = last_regs
+            vals = []
+            for i in range(start, n):
+                r = ((r << 2) | int(codes[i])) & 0xFFFFFFFFFFFFFFFF
+                vals.append(r)
+            if vals:
+                inserted.append(np.array(vals, dtype=_U64))
+        if not inserted:
+            return
+        kmers = np.concatenate(inserted)
+        for t in range(N_TABLES):
+            self._sets[t].update(kmer_shrinkage(kmers, t).tolist())
+
+    def finalize(self) -> "KmerFilter":
+        keys = [np.array(sorted(s), dtype=np.uint32) for s in self._sets]
+        return KmerFilter(keys=keys, thresh=self.thresh)
+
+
+class KmerFilter:
+    """Query-side filter: six sorted key arrays (or bitmaps on device)."""
+
+    def __init__(self, keys: list[np.ndarray], thresh: int = DEFAULT_THRESH):
+        self.keys = keys
+        self.thresh = thresh
+
+    def count_kmer_hits(self, kmer: int) -> int:
+        k = np.array([kmer], dtype=_U64)
+        hits = 0
+        for t in range(N_TABLES):
+            proj = int(kmer_shrinkage(k, t)[0])
+            i = np.searchsorted(self.keys[t], proj)
+            if i < len(self.keys[t]) and self.keys[t][i] == proj:
+                hits += 1
+        return hits
+
+    def is_read_kept(self, codes: np.ndarray) -> bool:
+        """IsReadFiltered inverted: True if the read PASSES (>= thresh
+        accumulated hits over its first 3 non-overlapping 32-mers).
+        The reference reads 3 chunks unconditionally (buffer over-read for
+        short reads); we clamp to the chunks fully inside the read."""
+        n_chunk = min(3, len(codes) // KMER_SIZE)
+        count = 0
+        for i in range(n_chunk):
+            chunk = codes[i * KMER_SIZE:(i + 1) * KMER_SIZE]
+            kmer = 0
+            for v in chunk:
+                kmer = ((kmer << 2) | int(v)) & 0xFFFFFFFFFFFFFFFF
+            count += self.count_kmer_hits(kmer)
+            if count >= self.thresh:
+                return True
+        return False
+
+    def bitmaps_uint32(self) -> np.ndarray:
+        """Dense (6, 2^27) uint32 bitmap array for device HBM (3 GiB)."""
+        n_words = 1 << 27  # 2^32 bits / 32
+        out = np.zeros((N_TABLES, n_words), dtype=np.uint32)
+        for t in range(N_TABLES):
+            k = self.keys[t]
+            np.bitwise_or.at(out[t], k >> 5, np.uint32(1) << (k & 31).astype(np.uint32))
+        return out
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(path, thresh=np.int32(self.thresh),
+                            **{f"keys{t}": self.keys[t] for t in range(N_TABLES)})
+
+    @classmethod
+    def load_npz(cls, path: str) -> "KmerFilter":
+        d = np.load(path)
+        return cls(keys=[d[f"keys{t}"] for t in range(N_TABLES)],
+                   thresh=int(d["thresh"]))
