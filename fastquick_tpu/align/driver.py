@@ -1,0 +1,481 @@
+"""Align-stage driver: fastquick align.
+
+Equivalent of runAlign (reference src/FASTQuick.cpp:159-491) +
+BwtMapper ctor (src/BwtMapper.cpp:177-291) + PairEndMapper /
+SingleEndMapper batch loops (single-thread reference order, which is the
+deterministic behavior; the reference's thread pool only changes
+scheduling).  Batches stream through:
+
+  read+filter -> engine.align_batch (K1/K2) -> aln2seq + positions ->
+  isize -> pairing -> mate-rescue SW (K3) -> gapped refine + MD ->
+  StatCollector (K4) + SAM/BAM out
+
+then StatCollector.process_core writes the 14 QC files.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+
+import numpy as np
+
+from ..index.builder import ReducedIndex, load_index, read_param
+from ..params import ParamList
+from ..stats.collector import FileStat, StatCollector
+from ..utils.logging import error, notice, realtime
+from .core import bwa_aln2seq_core, bwa_approx_mapQ
+from .engine import HostEngine
+from .opts import (
+    BWA_MODE_GAPE,
+    BWA_MODE_IL13,
+    BWA_MODE_LOGGAP,
+    BWA_MODE_NONSTOP,
+    BWA_TYPE_MATESW,
+    BWA_TYPE_NO_MATCH,
+    BWA_TYPE_REPEAT,
+    BWA_TYPE_UNIQUE,
+    SAM_FMU,
+    SAM_FPD,
+    SAM_FPP,
+    SAM_FR1,
+    SAM_FR2,
+    GapOpt,
+    PeOpt,
+    bwa_cal_maxdiff,
+)
+from .pe import (
+    MIN_HASH_WIDTH,
+    IsizeInfo,
+    bwa_paired_sw,
+    infer_isize,
+    pairing,
+    sa_pos,
+)
+from .rand import Rand48
+from .refine import (
+    bwa_cal_md1,
+    bwa_correct_trimmed,
+    pos_end,
+    refine_gapped_core,
+)
+from .seqs import FastqReader, Read, read_batch
+from .sam import SamWriter
+
+READ_BUFFER_SIZE = 0x40000
+
+
+class PairEndMapper:
+    def __init__(self, idx: ReducedIndex, engine, opt: GapOpt, popt: PeOpt,
+                 collector: StatCollector, sam: SamWriter, isize_out):
+        self.idx = idx
+        self.engine = engine
+        self.opt = opt
+        self.popt = popt
+        self.collector = collector
+        self.sam = sam
+        self.isize_out = isize_out
+        self.rng = Rand48(11)  # srand48(bns->seed), BwtMapper.cpp:1427
+        self.g_hash: dict[int, list[int]] = {}  # SA-interval position cache
+
+    def run(self, fq1: str, fq2: str, fsc: FileStat,
+            batch_size: int = READ_BUFFER_SIZE) -> None:
+        opt = self.opt
+        r1 = FastqReader(fq1)
+        r2 = FastqReader(fq2)
+        last_ii = IsizeInfo()
+        round_no = 0
+        while True:
+            b0 = read_batch(r1, self.idx.kmer, batch_size, opt.mode,
+                            opt.trim_qual, opt.frac, round_no)
+            b1 = read_batch(r2, self.idx.kmer, batch_size, opt.mode,
+                            opt.trim_qual, opt.frac, round_no)
+            round_no += 1
+            if not b0 and not b1:
+                break
+            if len(b0) != len(b1):
+                error("Pair-end files out of sync: %d vs %d reads",
+                      len(b0), len(b1))
+            self.engine.align_batch(b0, opt)
+            self.engine.align_batch(b1, opt)
+            ii = self._process_batch(b0, b1, last_ii, fsc)
+            last_ii = ii
+        r1.close()
+        r2.close()
+
+    def _process_batch(self, b0: list[Read], b1: list[Read],
+                       last_ii: IsizeInfo, fsc: FileStat) -> IsizeInfo:
+        opt, popt = self.opt, self.popt
+        idx = self.idx
+        fms = (idx.fm_fwd, idx.fm_rev)
+        n = len(b0)
+        alns_buf: list[list] = [[None] * n, [None] * n]
+
+        # --- SE positions + mapQ (bwa_cal_pac_pos_pe SE part) ---
+        for i in range(n):
+            for j, p in enumerate((b0[i], b1[i])):
+                p.n_multi = 0
+                p.multi = []
+                p.extra_flag |= SAM_FPD | (SAM_FR1 if j == 0 else SAM_FR2)
+                if p.filtered:
+                    continue
+                alns_buf[j][i] = list(p.aln)
+                bwa_aln2seq_core(p.aln, p, True, 0, self.rng)
+                if p.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
+                    p.pos = sa_pos(fms, p.strand, p.sa, p.len)
+                    max_diff = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
+                                if opt.fnr > 0.0 else opt.max_diff)
+                    p.seQ = p.mapQ = bwa_approx_mapQ(p, max_diff)
+
+        # --- infer isize ---
+        ii = IsizeInfo()
+        infer_isize(list(zip(b0, b1)), ii, popt.ap_prior, idx.l_pac)
+        if ii.avg < 0.0 and last_ii.avg > 0.0:
+            ii = copy.copy(last_ii)
+        if popt.force_isize:
+            notice("discard insert size estimate as user's request.")
+            ii.low = ii.high = 0
+            ii.avg = ii.std = -1.0
+
+        # --- PE pairing ---
+        for i in range(n):
+            p = [b0[i], b1[i]]
+            if p[0].filtered and p[1].filtered:
+                continue
+            d_aln = [alns_buf[0][i] or [], alns_buf[1][i] or []]
+            if (p[0].type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)
+                    and p[1].type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)):
+                n_occ = [sum(r.l - r.k + 1 for r in d_aln[j]) for j in (0, 1)]
+                if n_occ[0] <= popt.max_occ and n_occ[1] <= popt.max_occ:
+                    arr = []
+                    for j in (0, 1):
+                        for k, r in enumerate(d_aln[j]):
+                            if r.l - r.k + 1 >= MIN_HASH_WIDTH:
+                                key = (r.k << 32) | r.l
+                                if key not in self.g_hash:
+                                    self.g_hash[key] = [
+                                        sa_pos(fms, r.a, row, p[j].len)
+                                        for row in range(r.k, r.l + 1)]
+                                for x in self.g_hash[key]:
+                                    arr.append((x << 32) | (k << 1) | j)
+                            else:
+                                for row in range(r.k, r.l + 1):
+                                    x = sa_pos(fms, r.a, row, p[j].len)
+                                    arr.append((x << 32) | (k << 1) | j)
+                    pairing(p, d_aln, arr, popt, opt.s_mm, ii)
+            # multi hits
+            if popt.N_multi or popt.n_multi:
+                for j in (0, 1):
+                    if p[j].type != BWA_TYPE_NO_MATCH:
+                        if (not (p[j].extra_flag & SAM_FPP)
+                                and p[1 - j].type != BWA_TYPE_NO_MATCH):
+                            nm = (popt.n_multi
+                                  if p[j].c1 + p[j].c2 - 1 > popt.N_multi
+                                  else popt.N_multi)
+                            bwa_aln2seq_core(d_aln[j], p[j], False, nm, self.rng)
+                        else:
+                            bwa_aln2seq_core(d_aln[j], p[j], False,
+                                             popt.n_multi, self.rng)
+                        for q in p[j].multi:
+                            q.pos = sa_pos(fms, q.strand, q.pos, p[j].len)
+
+        # --- mate rescue SW ---
+        bwa_paired_sw(idx.text, list(zip(b0, b1)), popt, ii, opt.mode)
+
+        # --- gapped refinement + MD ---
+        for batch in (b0, b1):
+            self._refine_gapped(batch)
+
+        # --- stats + output ---
+        for i in range(n):
+            p = [b0[i], b1[i]]
+            fsc.num_base += p[0].full_len + p[1].full_len
+            if p[0].filtered and p[1].filtered:
+                fsc.total_filtered += 1
+                continue
+            if (p[0].type == BWA_TYPE_NO_MATCH
+                    and p[1].type == BWA_TYPE_NO_MATCH):
+                fsc.bwa_unmapped += 1
+                continue
+            fsc.total_retained += self.collector.add_alignment(
+                idx, p[0], p[1], opt, self.isize_out, fsc)
+            if self.sam is not None:
+                self.sam.write_pair(idx, p[0], p[1], opt)
+        fsc.num_read += 2 * n
+        return ii
+
+    def _refine_gapped(self, reads: list[Read]) -> None:
+        """bwa_refine_gapped (libbwa/bwase.c:339-417)."""
+        text = self.idx.text
+        for s in reads:
+            if s.filtered:
+                continue
+            # un-reverse seq back to forward orientation
+            s.seq = np.concatenate([s.seq[: s.len][::-1], s.seq[s.len:]])
+            for q in s.multi:
+                if q.gap == 0:
+                    continue
+                seq = s.rseq if q.strand else s.seq
+                ext = (1 if q.strand else -1) * q.gap
+                q.cigar, q.pos = refine_gapped_core(text, s.len, seq, q.pos, ext)
+            if (s.type in (BWA_TYPE_NO_MATCH, BWA_TYPE_MATESW)
+                    or s.n_gapo == 0):
+                pass
+            else:
+                seq = s.rseq if s.strand else s.seq
+                ext = (1 if s.strand else -1) * (s.n_gapo + s.n_gape)
+                s.cigar, s.pos = refine_gapped_core(text, s.len, seq, s.pos, ext)
+                s.n_cigar = len(s.cigar)
+        for s in reads:
+            if s.filtered:
+                continue
+            if s.type != BWA_TYPE_NO_MATCH:
+                seq = s.rseq if s.strand else s.seq
+                s.md, s.nm = bwa_cal_md1(s.cigar, s.len, s.pos, seq, text)
+        for s in reads:
+            if s.filtered:
+                continue
+            bwa_correct_trimmed(s)
+
+
+class SingleEndMapper(PairEndMapper):
+    def run(self, fq1: str, fq2: str, fsc: FileStat,
+            batch_size: int = READ_BUFFER_SIZE) -> None:
+        opt = self.opt
+        idx = self.idx
+        fms = (idx.fm_fwd, idx.fm_rev)
+        reader = FastqReader(fq1)
+        round_no = 0
+        while True:
+            batch = read_batch(reader, idx.kmer, batch_size, opt.mode,
+                               opt.trim_qual, opt.frac, round_no)
+            round_no += 1
+            if not batch:
+                break
+            self.engine.align_batch(batch, opt)
+            for p in batch:
+                fsc.num_base += p.full_len
+                if p.filtered:
+                    continue
+                bwa_aln2seq_core(p.aln, p, True, 3, self.rng)  # N_OCC=3
+            # positions (bwa_cal_pac_pos, src/BwtMapper.cpp:294-328)
+            for p in batch:
+                if p.filtered or p.type not in (BWA_TYPE_UNIQUE,
+                                                BWA_TYPE_REPEAT):
+                    continue
+                p.pos = sa_pos(fms, p.strand, p.sa, p.len)
+                max_diff = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
+                            if opt.fnr > 0.0 else opt.max_diff)
+                p.seQ = p.mapQ = bwa_approx_mapQ(p, max_diff)
+                for q in p.multi:
+                    q.pos = sa_pos(fms, q.strand, q.pos, p.len)
+            self._refine_gapped(batch)
+            for p in batch:
+                if p.filtered:
+                    fsc.total_filtered += 1
+                    continue
+                if p.type == BWA_TYPE_NO_MATCH:
+                    fsc.bwa_unmapped += 1
+                    continue
+                fsc.total_retained += self.collector.add_alignment(
+                    self.idx, p, None, opt, self.isize_out, fsc)
+                if self.sam is not None:
+                    self.sam.write_pair(self.idx, p, None, opt)
+            fsc.num_read += len(batch)
+        reader.close()
+
+
+def load_contig_sizes(ref_path: str) -> tuple[list[tuple[str, int]], int, int]:
+    """LoadContigSize (src/BwtIndexer.cpp:764-802): whole-genome .fai for
+    contig sizes + .amb (bwa index of the full genome) for the N count."""
+    contig_sizes = []
+    genome_size = 0
+    n_size = 0
+    fai = ref_path + ".fai"
+    if os.path.exists(fai):
+        with open(fai) as fh:
+            for line in fh:
+                parts = line.split("\t")
+                chrom = parts[0]
+                if chrom.lower().startswith("chr"):
+                    chrom = chrom[3:]
+                contig_sizes.append((chrom, int(parts[1])))
+                genome_size += int(parts[1])
+    amb = ref_path + ".amb"
+    if os.path.exists(amb):
+        with open(amb) as fh:
+            fh.readline()
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 2:
+                    n_size += int(parts[1])
+    return contig_sizes, genome_size, n_size
+
+
+def run_align(argv: list[str]) -> int:
+    t_real = realtime()
+    pl = ParamList()
+    pl.group("Input/Output Files")
+    pl.add("fastq_1", "Empty", "Pair end 1 fastq file")
+    pl.add("fastq_2", "Empty", "Pair end 2 fastq file")
+    pl.add("fq_list", "Empty", "Tab-delimited list of fastq files")
+    pl.add("bam_in", "Empty", "Input bam file path")
+    pl.add("sam_out", False, "Output SAM instead of BAM")
+    pl.add("out_prefix", "Empty", "Prefix of all the output files")
+    pl.add("index_prefix", "Empty", "Input prefix of the index files")
+    pl.group("Parameters for Alignment")
+    pl.add("kmer_thresh", 3, "number of k-mer tests to pass")
+    pl.add("n", 0.02, "max #diff or missing prob", type_=float)
+    pl.add("o", 1, "maximum number of gap opens")
+    pl.add("e", -1, "maximum number of gap extensions")
+    pl.add("i", 5, "indel end skip")
+    pl.add("d", 10, "max occurrences for long deletion extension")
+    pl.add("l", 32, "seed length")
+    pl.add("k", 2, "maximal seed difference")
+    pl.add("m", 2000000, "maximal stack entries")
+    pl.add("t", 4, "number of threads (engine batches are data-parallel)")
+    pl.add("R", 30, "stop searching when >INT equally best hits")
+    pl.add("q", 0, "quality threshold for read trimming")
+    pl.add("RG", "@RG\tID:foo\tSM:bar", "ReadGroup name")
+    pl.add("N", False, "non-iterative mode")
+    pl.add("I", False, "Illumina 1.3+ quality format")
+    pl.add("L", False, "log-scaled gap penalty")
+    pl.group("Additional Parameters for PairEnd")
+    pl.add("max_isize", 500, "maximum insert size")
+    pl.add("max_occ", 100000, "maximum occurrences of one end")
+    pl.add("is_sw", True, "enable Smith-Waterman for unmapped mates")
+    pl.add("n_multi", 3, "max hits for paired reads")
+    pl.add("N_multi", 10, "max hits for discordant pairs")
+    pl.add("ap_prior", 1e-5, "prior of chimeric rate")
+    pl.add("force_isize", False, "disable insert size estimate")
+    pl.group("Parameters for Statistics")
+    pl.add("cal_dup", True, "enable duplicate calculation")
+    pl.add("frac_samp", 1.0, "downsampling fraction")
+    pl.group("Engine")
+    pl.add("engine", "auto", "alignment engine: host | tpu | auto")
+    pl.read(argv)
+    pl.status()
+
+    if pl["out_prefix"] == "Empty":
+        error("--out_prefix is required")
+    if pl["index_prefix"] == "Empty":
+        error("--index_prefix is required")
+
+    opt = GapOpt()
+    popt = PeOpt()
+    opt.fnr = pl["n"]
+    if opt.fnr >= 1.0:
+        opt.max_diff = int(opt.fnr)
+        opt.fnr = -1.0
+    opt.max_gapo = pl["o"]
+    if pl["e"] > 0:
+        opt.max_gape = pl["e"]
+        opt.mode &= ~BWA_MODE_GAPE
+    opt.indel_end_skip = pl["i"]
+    opt.max_del_occ = pl["d"]
+    opt.seed_len = pl["l"]
+    opt.max_seed_diff = pl["k"]
+    opt.max_entries = pl["m"]
+    opt.n_threads = pl["t"]
+    opt.max_top2 = pl["R"]
+    opt.trim_qual = pl["q"]
+    if pl["N"]:
+        opt.mode |= BWA_MODE_NONSTOP
+        opt.max_top2 = 0x7FFFFFFF
+    if pl["I"]:
+        opt.mode |= BWA_MODE_IL13
+    if pl["L"]:
+        opt.mode |= BWA_MODE_LOGGAP
+    opt.frac = pl["frac_samp"]
+    opt.cal_dup = 1 if pl["cal_dup"] else 0
+    popt.max_isize = pl["max_isize"]
+    popt.max_occ = pl["max_occ"]
+    popt.is_sw = 1 if pl["is_sw"] else 0
+    popt.n_multi = pl["n_multi"]
+    popt.N_multi = pl["N_multi"]
+    popt.ap_prior = pl["ap_prior"]
+    popt.force_isize = 1 if pl["force_isize"] else 0
+
+    prefix = pl["out_prefix"]
+    new_ref = pl["index_prefix"] + ".FASTQuick.fa"
+    params = read_param(new_ref)
+    opt.num_variant_long = params["NUM_VAR_LONG"]
+    opt.num_variant_short = params["NUM_VAR_SHORT"]
+    opt.flank_len = params["SHORT_FLANK_LENGTH"]
+    opt.flank_long_len = params["LONG_FLANK_LENGTH"]
+    ref_path = params["REFERENCE_PATH"]
+    target_region = params["TARGET_REGION_PATH"]
+
+    t_tmp = realtime()
+    idx = load_index(new_ref)
+    idx.kmer.thresh = pl["kmer_thresh"]
+    notice("Index loaded in %f sec", realtime() - t_tmp)
+
+    contig_sizes, genome_size, n_size = load_contig_sizes(ref_path)
+
+    collector = StatCollector()
+    collector.restore_vcf_sites(new_ref, opt)
+    collector.set_genome_size(genome_size, n_size)
+    if target_region != "Empty":
+        collector.set_target_region(target_region)
+
+    engine_kind = pl["engine"]
+    if engine_kind == "auto":
+        try:
+            import jax
+
+            engine_kind = ("tpu" if any(d.platform != "cpu"
+                                        for d in jax.devices()) else "host")
+        except Exception:
+            engine_kind = "host"
+    if engine_kind == "tpu":
+        from ..ops.batch_search import BatchEngine
+
+        engine = BatchEngine(idx)
+    else:
+        engine = HostEngine(idx)
+    notice("Using %s alignment engine", engine_kind)
+
+    sam = SamWriter(prefix, contig_sizes, pl["RG"],
+                    bam=not pl["sam_out"])
+    isize_out = open(prefix + ".InsertSizeTable", "w")
+
+    fq_pairs: list[tuple[str, str]] = []
+    if pl["fq_list"] != "Empty":
+        with open(pl["fq_list"]) as fh:
+            for line in fh:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.split()
+                fq_pairs.append((parts[0], parts[1] if len(parts) > 1 else ""))
+    elif pl["fastq_1"] != "Empty":
+        fq_pairs.append((pl["fastq_1"], pl["fastq_2"]
+                         if pl["fastq_2"] != "Empty" else ""))
+    else:
+        error("One of --fq_list / --fastq_1 is required")
+
+    for fq1, fq2 in fq_pairs:
+        if fq2:
+            notice("Processing Pair End mapping\t%s\t%s", fq1, fq2)
+            fsc = FileStat(file_name1=fq1, file_name2=fq2)
+            mapper = PairEndMapper(idx, engine, opt, popt, collector, sam,
+                                   isize_out)
+            mapper.run(fq1, fq2, fsc)
+        else:
+            notice("Processing Single End mapping\t%s", fq1)
+            fsc = FileStat(file_name1=fq1, file_name2=fq1)
+            mapper = SingleEndMapper(idx, engine, opt, popt, collector, sam,
+                                     isize_out)
+            mapper.run(fq1, "", fsc)
+        collector.add_fsc(fsc)
+        notice("%d sequences loaded, %d filtered, %d unmapped, %d retained",
+               fsc.num_read, fsc.total_filtered, fsc.bwa_unmapped,
+               fsc.total_retained)
+
+    isize_out.close()
+    sam.close()
+    t_tmp = realtime()
+    collector.process_core(prefix, opt)
+    notice("Calculate distributions... %f sec", realtime() - t_tmp)
+    notice("Real time: %.3f sec", realtime() - t_real)
+    return 0

@@ -1,0 +1,154 @@
+"""Gapped refinement, MD/NM computation, trimming correction.
+
+Equivalents of refine_gapped_core (reference libbwa/bwase.c:183-232),
+bwa_cal_md1 (:234-296), bwa_correct_trimmed (:298-337),
+bwa_refine_gapped (:339-417) and pos_end (:419-433), operating on the
+unpacked text codes instead of the 2-bit .pac."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dp import FROM_D, FROM_I, FROM_M, FROM_S, aln_global_core, aln_path2cigar
+
+Cigar = list[tuple[int, int]]  # [(op, len)] with FROM_* ops
+
+
+def refine_gapped_core(text: np.ndarray, length: int, seq: np.ndarray,
+                       pos: int, ext: int) -> tuple[Cigar, int]:
+    """bwase.c:183-232 with is_end_correct == 1.  Returns (cigar, new_pos)."""
+    l_pac = len(text)
+    ref_len = length + abs(ext)
+    if ext > 0:
+        lo = pos
+        hi = min(pos + ref_len, l_pac)
+    else:
+        x = pos + length  # is_end_correct
+        lo = max(x - ref_len, 0)
+        hi = min(x, l_pac)
+    ref_seq = text[lo:hi]
+    _, path = aln_global_core(ref_seq, seq[:length])
+    cigar = aln_path2cigar(path)
+    new_pos = lo
+
+    if ext < 0:  # fix coordinate for forward-strand reads
+        shift = 0
+        for op, ln in cigar:
+            if op == FROM_D:
+                shift -= ln
+            elif op == FROM_I:
+                shift += ln
+        new_pos += shift
+
+    if cigar and cigar[0][0] == FROM_D:  # 5'-end deletion
+        new_pos += cigar[0][1]
+        cigar = cigar[1:]
+    if cigar and cigar[-1][0] == FROM_D:  # 3'-end deletion
+        cigar = cigar[:-1]
+    # I at either end becomes S
+    if cigar and cigar[-1][0] == FROM_I:
+        cigar[-1] = (FROM_S, cigar[-1][1])
+    if cigar and cigar[0][0] == FROM_I:
+        cigar[0] = (FROM_S, cigar[0][1])
+    return cigar, new_pos
+
+
+def bwa_cal_md1(cigar: Cigar | None, length: int, pos: int, seq: np.ndarray,
+                text: np.ndarray) -> tuple[str, int]:
+    """MD string + NM (bwase.c:234-296)."""
+    l_pac = len(text)
+    x, y = pos, 0
+    nm = 0
+    u = 0
+    out: list[str] = []
+    if cigar:
+        for op, ln in cigar:
+            if op == FROM_M:
+                for z in range(ln):
+                    if x + z >= l_pac:
+                        break
+                    c = int(text[x + z])
+                    if c > 3 or int(seq[y + z]) > 3 or c != int(seq[y + z]):
+                        out.append(str(u))
+                        out.append("ACGTN"[c])
+                        nm += 1
+                        u = 0
+                    else:
+                        u += 1
+                x += ln
+                y += ln
+            elif op in (FROM_I, FROM_S):
+                y += ln
+                if op == FROM_I:
+                    nm += ln
+            elif op == FROM_D:
+                out.append(str(u))
+                out.append("^")
+                for z in range(ln):
+                    if x + z >= l_pac:
+                        break
+                    out.append("ACGT"[int(text[x + z])])
+                u = 0
+                x += ln
+                nm += ln
+    else:
+        for z in range(length):
+            c = int(text[x + z]) if x + z < l_pac else 4
+            if c > 3 or int(seq[y + z]) > 3 or c != int(seq[y + z]):
+                out.append(str(u))
+                out.append("ACGTN"[c])
+                nm += 1
+                u = 0
+            else:
+                u += 1
+    out.append(str(u))
+    return "".join(out), nm
+
+
+def bwa_correct_trimmed(s) -> None:
+    """bwase.c:298-337: re-extend quality-trimmed reads with soft clips."""
+    if s.len == s.full_len:
+        return
+    clip = s.full_len - s.len
+    if s.strand == 0:
+        if s.cigar and s.cigar[-1][0] == FROM_S:
+            s.cigar[-1] = (FROM_S, s.cigar[-1][1] + clip)
+        else:
+            if s.cigar is None:
+                s.cigar = [(FROM_M, s.len)]
+            s.cigar = s.cigar + [(FROM_S, clip)]
+    else:
+        if s.cigar and s.cigar[0][0] == FROM_S:
+            s.cigar[0] = (FROM_S, s.cigar[0][1] + clip)
+        else:
+            if s.cigar is None:
+                s.cigar = [(FROM_M, s.len)]
+            s.cigar = [(FROM_S, clip)] + s.cigar
+    s.len = s.full_len
+
+
+def pos_end(p) -> int:
+    """bwase.c:419-433."""
+    if p.cigar:
+        x = p.pos
+        for op, ln in p.cigar:
+            if op in (FROM_M, FROM_D):
+                x += ln
+        return x
+    return p.pos + p.len
+
+
+def pos_end_multi(q, length: int) -> int:
+    if q.cigar:
+        x = q.pos
+        for op, ln in q.cigar:
+            if op in (FROM_M, FROM_D):
+                x += ln
+        return x
+    return q.pos + length
+
+
+def cigar_string(cigar: Cigar | None, length: int) -> str:
+    if not cigar:
+        return f"{length}M"
+    return "".join(f"{ln}{'MIDS'[op]}" for op, ln in cigar)

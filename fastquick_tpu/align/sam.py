@@ -1,0 +1,213 @@
+"""SAM/BAM record construction for aligned read pairs.
+
+Equivalent of BwtMapper::SetSamRecord / SetSamFileHeader (reference
+src/BwtMapper.cpp:999-1270) and bwa_print_sam1 (libbwa/bwase.c:455-):
+reduced-reference coordinates are converted to real-genome coordinates by
+parsing the contig name ``chr:pos@ref/alt[|L]``, and the output carries
+the bwa tag set (XT/NM/XN/SM/AM/X0/X1/XM/XO/XG/MD/XA).
+"""
+
+from __future__ import annotations
+
+from ..index.builder import ReducedIndex
+from ..io.bam import BamWriter, tag_A, tag_i, tag_Z
+from .opts import (
+    BWA_MODE_COMPREAD,
+    BWA_MODE_IL13,
+    BWA_TYPE_MATESW,
+    BWA_TYPE_NO_MATCH,
+    SAM_FMR,
+    SAM_FMU,
+    SAM_FSR,
+    SAM_FSU,
+    GapOpt,
+)
+from .refine import cigar_string, pos_end, pos_end_multi
+
+
+def _real_coord(idx: ReducedIndex, pac_pos: int, opt: GapOpt
+                ) -> tuple[str, int, int, str]:
+    """(chrom, 1-based real position, seqid, contig_name)."""
+    seqid, off = idx.coor_pac2real(pac_pos)
+    c = idx.contigs[seqid]
+    pos = pac_pos - c.offset + 1
+    flank = opt.flank_long_len if c.is_long else opt.flank_len
+    return c.chrom, c.pos - flank + pos - 1, seqid, c.name
+
+
+def _seq_qual(p) -> tuple[str, str]:
+    """Sequence/quality in output orientation (SetSamRecord
+    :1129-1150).  p.seq is forward after refine; reverse-strand output
+    is the reverse complement."""
+    if p.strand == 0:
+        seq = "".join("ACGTN"[c] for c in p.seq[: p.full_len])
+        qual = ("".join(chr(q) for q in p.qual[: p.full_len])
+                if p.qual is not None else "*")
+    else:
+        seq = "".join("TGCAN"[p.seq[p.full_len - 1 - j]]
+                      for j in range(p.full_len))
+        qual = ("".join(chr(p.qual[p.full_len - 1 - j])
+                        for j in range(p.full_len))
+                if p.qual is not None else "*")
+    return seq, qual
+
+
+def _pos5(p) -> int:
+    if p.type != BWA_TYPE_NO_MATCH:
+        return pos_end(p) if p.strand else p.pos
+    return -1
+
+
+class SamWriter:
+    def __init__(self, prefix: str, contig_sizes: list[tuple[str, int]],
+                 rg_line: str, bam: bool = True):
+        self.rg_line = rg_line.replace("\\t", "\t")
+        self.rg_id = None
+        if "\tID:" in self.rg_line:
+            self.rg_id = self.rg_line.split("\tID:")[1].split("\t")[0].split("\n")[0]
+        self.bam = bam
+        header_lines = []
+        for chrom, ln in contig_sizes:
+            header_lines.append(f"@SQ\tSN:{chrom}\tLN:{ln}")
+        if self.rg_line.startswith("@RG"):
+            header_lines.append(self.rg_line)
+        header_lines.append("@PG\tID:FASTQuick\tVN:1.0.0-tpu")
+        header_text = "\n".join(header_lines) + "\n"
+        if bam:
+            self._bam = BamWriter(prefix + ".bam", header_text, contig_sizes)
+            self._sam = None
+        else:
+            self._bam = None
+            self._sam = open(prefix + ".sam", "w")
+            self._sam.write(header_text)
+
+    def write_pair(self, idx: ReducedIndex, p, q, opt: GapOpt) -> None:
+        self._write_one(idx, p, q, opt)
+        if q is not None:
+            self._write_one(idx, q, p, opt)
+
+    def _write_one(self, idx: ReducedIndex, p, mate, opt: GapOpt) -> None:
+        fields = self._record(idx, p, mate, opt)
+        if fields is None:
+            return
+        if self._sam is not None:
+            (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
+             qual, tags_text, _tags_bin) = fields
+            cols = [qname, str(flag), rname, str(pos), str(mapq), cigar,
+                    rnext, str(pnext), str(tlen), seq, qual] + tags_text
+            self._sam.write("\t".join(cols) + "\n")
+        else:
+            (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
+             qual, _tags_text, tags_bin) = fields
+            cig = p.cigar if (p.type != BWA_TYPE_NO_MATCH and p.cigar) else (
+                None if p.type == BWA_TYPE_NO_MATCH else [(0, p.len)])
+            self._bam.write_record(qname, flag, rname, pos, mapq, cig, rnext,
+                                   pnext, tlen, seq, qual, tags_bin)
+
+    def _record(self, idx: ReducedIndex, p, mate, opt: GapOpt):
+        tags_text: list[str] = []
+        tags_bin = b""
+        if self.rg_id:
+            tags_text.append(f"RG:Z:{self.rg_id}")
+            tags_bin += tag_Z("RG", self.rg_id)
+
+        if p.type != BWA_TYPE_NO_MATCH or (mate is not None
+                                           and mate.type != BWA_TYPE_NO_MATCH):
+            flag = p.extra_flag
+            if p.type == BWA_TYPE_NO_MATCH:
+                p.pos = mate.pos
+                p.strand = mate.strand
+                flag |= SAM_FSU
+                j = 1
+            else:
+                j = pos_end(p) - p.pos
+            chrom, real_pos, seqid, _ = _real_coord(idx, p.pos, opt)
+            if (p.type != BWA_TYPE_NO_MATCH
+                    and p.pos + j - idx.contigs[seqid].offset
+                    > idx.contigs[seqid].length):
+                flag |= SAM_FSU
+            if p.strand:
+                flag |= SAM_FSR
+            if mate is not None:
+                if mate.type != BWA_TYPE_NO_MATCH:
+                    if mate.strand:
+                        flag |= SAM_FMR
+                else:
+                    flag |= SAM_FMU
+            if p.type == BWA_TYPE_NO_MATCH:
+                rname, pos_out = "*", 0
+            else:
+                rname, pos_out = chrom, real_pos
+            cigar = ("*" if p.type == BWA_TYPE_NO_MATCH
+                     else cigar_string(p.cigar, p.len))
+            # mate coordinates
+            rnext, pnext, tlen = "*", 0, 0
+            if mate is not None and mate.type != BWA_TYPE_NO_MATCH:
+                m_chrom, m_real, m_seqid, _ = _real_coord(idx, mate.pos, opt)
+                rnext = "=" if seqid == m_seqid else m_chrom
+                tlen = _pos5(mate) - _pos5(p) if seqid == m_seqid else 0
+                if p.type == BWA_TYPE_NO_MATCH:
+                    tlen = 0
+                pnext = m_real
+            elif mate is not None:
+                rnext = "="
+                pnext = real_pos if p.type != BWA_TYPE_NO_MATCH else 0
+            seq, qual = _seq_qual(p)
+            if p.type != BWA_TYPE_NO_MATCH:
+                xt = "NURM"[p.type]
+                tags_text.append(f"XT:A:{xt}")
+                tags_bin += tag_A("XT", xt)
+                nm_tag = "NM" if opt.mode & BWA_MODE_COMPREAD else "CM"
+                tags_text.append(f"{nm_tag}:i:{p.nm}")
+                tags_bin += tag_i(nm_tag, p.nm)
+                if mate is not None:
+                    am = min(mate.seQ, p.seQ)
+                    tags_text.append(f"SM:i:{p.seQ}")
+                    tags_bin += tag_i("SM", p.seQ)
+                    tags_text.append(f"AM:i:{am}")
+                    tags_bin += tag_i("AM", am)
+                if p.type != BWA_TYPE_MATESW:
+                    tags_text.append(f"X0:i:{p.c1}")
+                    tags_bin += tag_i("X0", p.c1)
+                    if p.c1 <= opt.max_top2:
+                        tags_text.append(f"X1:i:{p.c2}")
+                        tags_bin += tag_i("X1", p.c2)
+                tags_text.append(f"XM:i:{p.n_mm}")
+                tags_bin += tag_i("XM", p.n_mm)
+                tags_text.append(f"XO:i:{p.n_gapo}")
+                tags_bin += tag_i("XO", p.n_gapo)
+                tags_text.append(f"XG:i:{p.n_gapo + p.n_gape}")
+                tags_bin += tag_i("XG", p.n_gapo + p.n_gape)
+                if p.md:
+                    tags_text.append(f"MD:Z:{p.md}")
+                    tags_bin += tag_Z("MD", p.md)
+                if p.multi:
+                    xa = []
+                    for q in p.multi:
+                        jl = pos_end_multi(q, p.len) - q.pos
+                        m_chrom2, m_real2, _, _ = _real_coord(idx, q.pos, opt)
+                        strand_c = "-" if q.strand else "+"
+                        cg = cigar_string(q.cigar, p.len)
+                        xa.append(f"{m_chrom2},{strand_c}{m_real2},{cg},"
+                                  f"{q.gap + q.mm};")
+                    tags_text.append("XA:Z:" + "".join(xa))
+                    tags_bin += tag_Z("XA", "".join(xa))
+            return (p.name, flag, rname, pos_out, p.mapQ, cigar, rnext, pnext,
+                    tlen, seq, qual, tags_text, tags_bin)
+
+        # unmapped (both)
+        flag = p.extra_flag | SAM_FSU
+        if mate is not None and mate.type == BWA_TYPE_NO_MATCH:
+            flag |= SAM_FMU
+        s = p.rseq if p.strand else p.seq
+        seq = "".join("ACGTN"[c] for c in s[: p.len])
+        qual = ("".join(chr(q) for q in (p.qual[::-1] if p.strand else p.qual))
+                if p.qual is not None else "*")
+        return (p.name, flag, "*", 0, 0, "*", "*", 0, 0, seq, qual,
+                tags_text, tags_bin)
+
+    def close(self) -> None:
+        if self._bam is not None:
+            self._bam.close()
+        if self._sam is not None:
+            self._sam.close()

@@ -1,0 +1,158 @@
+"""Read records and FASTQ batch loading.
+
+Equivalent of bwa_seq_t plus bwa_read_seq_with_hash[_dev]
+(reference src/BwtMapper.cpp:344-620): gzip FASTQ streaming, optional
+Bernoulli downsampling with a per-batch-seeded RNG, nst_nt4 encoding,
+quality trimming (bwa_trim_read, libbwa/bwaseqio.c:75-88), k-mer
+filtering, and the seq/rseq reverse / reverse-complement convention
+(seq_reverse calls at BwtMapper.cpp:573-579).
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..index.kmerfilter import KmerFilter
+from ..index.seq import NT4_TABLE
+from .opts import BWA_MIN_RDLEN, BWA_MODE_COMPREAD, BWA_TYPE_NO_MATCH
+from .rand import MersenneRandom
+
+
+@dataclass
+class Read:
+    """bwa_seq_t equivalent."""
+
+    name: str = ""
+    seq: np.ndarray | None = None  # REVERSED encoded read (codes 0..4)
+    rseq: np.ndarray | None = None  # reverse-complement encoded read
+    qual: np.ndarray | None = None  # phred+33 bytes, original orientation
+    len: int = 0
+    full_len: int = 0
+    clip_len: int = 0
+    filtered: bool = False
+    # alignment results
+    aln: list = field(default_factory=list)
+    n_aln: int = 0
+    multi: list = field(default_factory=list)
+    n_multi: int = 0
+    sa: int = 0
+    pos: int = 0
+    strand: int = 0
+    type: int = BWA_TYPE_NO_MATCH
+    c1: int = 0
+    c2: int = 0
+    n_mm: int = 0
+    n_gapo: int = 0
+    n_gape: int = 0
+    score: int = 0
+    mapQ: int = 0
+    seQ: int = 0
+    extra_flag: int = 0
+    cigar: list | None = None
+    n_cigar: int = 0
+    md: str = ""
+    nm: int = 0
+
+    def forward_codes(self) -> np.ndarray:
+        """The read in original orientation (seq is stored reversed)."""
+        return self.seq[: self.len][::-1]
+
+
+def seq_reverse(codes: np.ndarray, is_comp: bool) -> np.ndarray:
+    out = codes[::-1].copy()
+    if is_comp:
+        mask = out < 4
+        out[mask] = 3 - out[mask]
+    return out
+
+
+def bwa_trim_read(trim_qual: int, p: Read) -> int:
+    """bwaseqio.c:75-88: BWA-style 3' quality trimming."""
+    if trim_qual < 1 or p.qual is None:
+        return 0
+    s = 0
+    mx = 0
+    max_l = p.len - 1
+    for l in range(p.len - 1, BWA_MIN_RDLEN - 2, -1):
+        s += trim_qual - (int(p.qual[l]) - 33)
+        if s < 0:
+            break
+        if s > mx:
+            mx = s
+            max_l = l
+    p.clip_len = p.len = max_l + 1
+    return p.full_len - p.len
+
+
+class FastqReader:
+    """Streaming FASTQ(.gz) reader yielding raw (name, seq, qual) or
+    skipping records (for downsampling)."""
+
+    def __init__(self, path: str):
+        self._fh = gzip.open(path, "rt") if path.endswith(".gz") else open(path)
+
+    def next_record(self) -> tuple[str, str, str] | None:
+        h = self._fh.readline()
+        if not h:
+            return None
+        seq = self._fh.readline().strip()
+        sep = self._fh.readline()
+        qual = self._fh.readline().strip() if sep.startswith("+") else ""
+        name = h[1:].split()[0] if h.startswith("@") else h.strip()
+        return name, seq, qual
+
+    def skip_record(self) -> bool:
+        h = self._fh.readline()
+        if not h:
+            return False
+        self._fh.readline()
+        sep = self._fh.readline()
+        if sep.startswith("+"):
+            self._fh.readline()
+        return True
+
+    def close(self):
+        self._fh.close()
+
+
+def read_batch(reader: FastqReader, kmer: KmerFilter | None, n_needed: int,
+               mode: int, trim_qual: int, frac: float, seed: int
+               ) -> list[Read]:
+    """bwa_read_seq_with_hash (BwtMapper.cpp:344-466): one batch of reads,
+    downsampled, trimmed, filtered, encoded + reversed."""
+    rng = MersenneRandom(seed) if frac < 1.0 else None
+    is_comp = bool(mode & BWA_MODE_COMPREAD)
+    out: list[Read] = []
+    while len(out) < n_needed:
+        if rng is not None and rng.next() > frac:
+            if not reader.skip_record():
+                break
+            continue
+        rec = reader.next_record()
+        if rec is None:
+            break
+        name, seq_s, qual_s = rec
+        p = Read()
+        p.full_len = p.clip_len = p.len = len(seq_s)
+        codes = NT4_TABLE[np.frombuffer(seq_s.encode("ascii"), dtype=np.uint8)].copy()
+        p.seq = codes
+        p.qual = (np.frombuffer(qual_s.encode("ascii"), dtype=np.uint8).copy()
+                  if qual_s else None)
+        if trim_qual >= 1:
+            bwa_trim_read(trim_qual, p)
+        if name.endswith("/1") or name.endswith("/2"):
+            name = name[:-2]
+        p.name = name
+        if kmer is not None and kmer.thresh != 0 and not kmer.is_read_kept(
+                codes[: p.len]):
+            p.filtered = True
+            out.append(p)
+            continue
+        p.rseq = seq_reverse(codes[: p.len], is_comp)
+        p.seq = np.concatenate([seq_reverse(codes[: p.len], False),
+                                codes[p.len:]])
+        out.append(p)
+    return out

@@ -1,0 +1,165 @@
+"""BAM record encoding + minimal reader.
+
+Equivalent of the reference's libStatGen BamInterface (misc/bam/) writing
+path: binary BAM over BGZF.  Provides record packing for the align stage
+and a simple whole-file reader used by pop+con's pileup when given a BAM.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .bgzf import BgzfWriter, bgzf_read_all
+
+# BAM cigar op codes: MIDNSHP=X
+BAM_CIGAR_OPS = "MIDNSHP=X"
+# our internal FROM_M/I/D/S codes -> BAM op
+FROM_TO_BAM = {0: 0, 1: 1, 2: 2, 3: 4}
+
+SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    def __init__(self, path: str, header_text: str,
+                 refs: list[tuple[str, int]]):
+        self._w = BgzfWriter(path)
+        self.tid = {name: i for i, (name, _) in enumerate(refs)}
+        hdr = header_text.encode()
+        out = b"BAM\x01" + struct.pack("<i", len(hdr)) + hdr
+        out += struct.pack("<i", len(refs))
+        for name, length in refs:
+            nm = name.encode() + b"\x00"
+            out += struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
+        self._w.write(out)
+
+    def write_record(self, qname: str, flag: int, rname: str, pos1: int,
+                     mapq: int, cigar: list[tuple[int, int]] | None,
+                     rnext: str, pnext1: int, tlen: int, seq: str, qual: str,
+                     tags: bytes) -> None:
+        """pos1/pnext1 are 1-based (0 = unmapped '*')."""
+        refid = self.tid.get(rname, -1)
+        next_refid = refid if rnext == "=" else self.tid.get(rnext, -1)
+        pos = pos1 - 1
+        next_pos = pnext1 - 1
+        name = qname.encode() + b"\x00"
+        cig = b""
+        n_cigar = 0
+        if cigar:
+            n_cigar = len(cigar)
+            for op, ln in cigar:
+                cig += struct.pack("<I", (ln << 4) | FROM_TO_BAM[op])
+        l_seq = 0 if seq == "*" else len(seq)
+        sq = bytearray()
+        if l_seq:
+            for i in range(0, l_seq, 2):
+                hi = SEQ_NT16.get(seq[i].upper(), 15)
+                lo = SEQ_NT16.get(seq[i + 1].upper(), 15) if i + 1 < l_seq else 0
+                sq.append((hi << 4) | lo)
+        if l_seq:
+            ql = (b"\xff" * l_seq if qual == "*"
+                  else bytes([(ord(c) - 33) & 0xFF for c in qual]))
+        else:
+            ql = b""
+        end = pos + 1
+        if cigar:
+            end = pos
+            for op, ln in cigar:
+                if op in (0, 2):
+                    end += ln
+        elif l_seq:
+            end = pos + l_seq
+        rec = struct.pack("<iiBBHHHiiii", refid, pos, len(name),
+                          mapq, reg2bin(max(pos, 0), max(end, 1)), n_cigar,
+                          flag, l_seq, next_refid, next_pos, tlen)
+        rec += name + cig + bytes(sq) + ql + tags
+        self._w.write(struct.pack("<i", len(rec)) + rec)
+
+    def close(self) -> None:
+        self._w.close()
+
+
+def tag_A(name: str, v: str) -> bytes:
+    return name.encode() + b"A" + v.encode()[:1]
+
+
+def tag_i(name: str, v: int) -> bytes:
+    return name.encode() + b"i" + struct.pack("<i", v)
+
+
+def tag_Z(name: str, v: str) -> bytes:
+    return name.encode() + b"Z" + v.encode() + b"\x00"
+
+
+class BamReader:
+    """Minimal whole-file BAM reader yielding dict records."""
+
+    def __init__(self, path: str):
+        data = bgzf_read_all(path)
+        assert data[:4] == b"BAM\x01", "not a BAM file"
+        (l_text,) = struct.unpack_from("<i", data, 4)
+        off = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        self.refs: list[tuple[str, int]] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack_from("<i", data, off)
+            off += 4
+            name = data[off:off + l_name - 1].decode()
+            off += l_name
+            (l_ref,) = struct.unpack_from("<i", data, off)
+            off += 4
+            self.refs.append((name, l_ref))
+        self.header_text = data[8:8 + l_text].decode(errors="replace")
+        self._data = data
+        self._off = off
+
+    def __iter__(self):
+        data = self._data
+        off = self._off
+        n = len(data)
+        while off + 4 <= n:
+            (block,) = struct.unpack_from("<i", data, off)
+            off += 4
+            rec = data[off:off + block]
+            off += block
+            (refid, pos, l_qname, mapq, _bin, n_cig, flag, l_seq, nref,
+             npos, tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+            p = 32
+            qname = rec[p:p + l_qname - 1].decode()
+            p += l_qname
+            cigar = []
+            for _ in range(n_cig):
+                (c,) = struct.unpack_from("<I", rec, p)
+                p += 4
+                cigar.append((BAM_CIGAR_OPS[c & 0xF], c >> 4))
+            seq = bytearray()
+            for i in range((l_seq + 1) // 2):
+                b = rec[p + i]
+                seq.append(b >> 4)
+                if len(seq) < l_seq:
+                    seq.append(b & 0xF)
+            p += (l_seq + 1) // 2
+            seq_s = "".join("=ACMGRSVTWYHKDBN"[c] for c in seq[:l_seq])
+            qual = rec[p:p + l_seq]
+            p += l_seq
+            yield {
+                "qname": qname, "flag": flag, "refid": refid, "pos": pos,
+                "mapq": mapq, "cigar": cigar, "seq": seq_s,
+                "qual": bytes(qual), "next_refid": nref, "next_pos": npos,
+                "tlen": tlen, "tags_raw": rec[p:],
+            }
