@@ -1,0 +1,167 @@
+"""Marker pileup acquisition for contamination/ancestry estimation.
+
+Equivalent of the reference's SimplePileupViewer
+(VerifyBamID/SimplePileupViewer.cpp): either parse a textual pileup
+(ReadPileup :767-845) or run an mpileup over the marker BED regions of a
+sorted BAM (SIMPLEmpileup :277-600) with samtools-style read filters
+(skip unmapped/secondary/qcfail/dup, min mapQ 13, min baseQ 2, pileup
+symbols '.'/',' for ref matches).
+
+Deviation from the reference noted for the BAM path: BAQ realignment
+(MPLP_REALN) and overlapping-mate quality tweaking (MPLP_SMART_OVERLAPS)
+are not applied; both only perturb base qualities of marginal reads.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from ..io.bam import BamReader
+
+# BAM flags
+BAM_FUNMAP = 4
+BAM_FSECONDARY = 256
+BAM_FQCFAIL = 512
+BAM_FDUP = 1024
+
+MIN_MQ = 13
+MIN_BASEQ = 2
+
+
+@dataclass
+class PileupData:
+    pos_index: dict[str, dict[int, int]] = field(default_factory=dict)
+    base_info: list[list[str]] = field(default_factory=list)
+    qual_info: list[list[int]] = field(default_factory=list)  # phred+33 ints
+    num_bases: int = 0
+    effective_num_site: int = 0
+    avg_depth: float = 0.0
+    sd_depth: float = 0.0
+    seq_sm: str = "DefaultSampleName"
+    is_pileup_input: bool = False
+
+    def get_base(self, chrom: str, pos: int) -> list[str]:
+        return self.base_info[self.pos_index[chrom][pos]]
+
+    def get_qual(self, chrom: str, pos: int) -> list[int]:
+        return self.qual_info[self.pos_index[chrom][pos]]
+
+    def num_marker(self) -> int:
+        return self.effective_num_site
+
+
+def read_pileup_file(bed_table: dict[str, dict[int, tuple[str, str]]],
+                     path: str) -> PileupData:
+    """ReadPileup (:767-845): textual pileup restricted to bed markers."""
+    d = PileupData(is_pileup_input=True)
+    gi = 0
+    with open(path) as fh:
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 6:
+                continue
+            chrom, pos_s, _ref, depth_s, seq, qual = cols[:6]
+            pos = int(pos_s)
+            if chrom not in bed_table or pos not in bed_table[chrom]:
+                continue
+            ci = d.pos_index.setdefault(chrom, {})
+            if pos in ci:
+                idx = ci[pos]
+                d.base_info[idx].extend(seq)
+                d.qual_info[idx].extend(ord(c) for c in qual)
+            else:
+                ci[pos] = gi
+                gi += 1
+                d.base_info.append(list(seq))
+                d.qual_info.append([ord(c) for c in qual])
+            d.num_bases += int(depth_s)
+            d.effective_num_site += 1
+    if d.num_marker():
+        d.avg_depth = d.num_bases / d.num_marker()
+    return d
+
+
+def pileup_from_bam(bed_vec: list[tuple[str, int, int]],
+                    bed_table: dict[str, dict[int, tuple[str, str]]],
+                    bam_path: str, ref_fetch) -> PileupData:
+    """mpileup-lite over marker positions of a (sorted or unsorted) BAM.
+
+    ref_fetch(chrom, pos) -> ref base (for '.'/',' symbols), or None.
+    """
+    d = PileupData()
+    wanted: dict[str, set[int]] = {}
+    for chrom, beg, end in bed_vec:
+        wanted.setdefault(chrom, set()).add(end)  # end is the 1-based pos
+
+    reader = BamReader(bam_path)
+    # sample name from @RG SM:
+    for line in reader.header_text.splitlines():
+        if line.startswith("@RG") and "SM:" in line:
+            d.seq_sm = line.split("SM:")[1].split("\t")[0]
+            break
+    gi = 0
+    acc: dict[tuple[str, int], tuple[list[str], list[int]]] = {}
+    for rec in reader:
+        flag = rec["flag"]
+        if flag & (BAM_FUNMAP | BAM_FSECONDARY | BAM_FQCFAIL | BAM_FDUP):
+            continue
+        if rec["mapq"] < MIN_MQ:
+            continue
+        if rec["refid"] < 0:
+            continue
+        chrom = reader.refs[rec["refid"]][0]
+        if chrom.lower().startswith("chr"):
+            chrom = chrom[3:]
+        if chrom not in wanted:
+            continue
+        pos = rec["pos"]  # 0-based
+        cigar = rec["cigar"] or [("M", len(rec["seq"]))]
+        qpos = 0
+        rpos = pos
+        reverse = bool(flag & 16)
+        for op, ln in cigar:
+            if op in ("M", "=", "X"):
+                for k in range(ln):
+                    p1 = rpos + k + 1  # 1-based
+                    if p1 in wanted[chrom]:
+                        q = rec["qual"][qpos + k] if qpos + k < len(rec["qual"]) else 0
+                        if q < MIN_BASEQ:
+                            continue
+                        base = rec["seq"][qpos + k]
+                        ref = ref_fetch(chrom, p1) if ref_fetch else None
+                        if ref is not None and base.upper() == ref.upper():
+                            sym = "," if reverse else "."
+                        else:
+                            sym = base.lower() if reverse else base.upper()
+                        key = (chrom, p1)
+                        if key not in acc:
+                            acc[key] = ([], [])
+                        acc[key][0].append(sym)
+                        acc[key][1].append(min(q + 33, 126))
+                qpos += ln
+                rpos += ln
+            elif op in ("I", "S"):
+                qpos += ln
+            elif op in ("D", "N"):
+                rpos += ln
+            elif op == "H":
+                pass
+    # serialize in bed order
+    for chrom, beg, end in bed_vec:
+        key = (chrom, end)
+        if key not in acc:
+            continue
+        bases, quals = acc[key]
+        ci = d.pos_index.setdefault(chrom, {})
+        if end in ci:
+            continue
+        ci[end] = gi
+        gi += 1
+        d.base_info.append(bases)
+        d.qual_info.append(quals)
+        d.num_bases += len(bases)
+        d.effective_num_site += 1
+    if d.num_marker():
+        d.avg_depth = d.num_bases / d.num_marker()
+    return d
