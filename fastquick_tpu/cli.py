@@ -95,6 +95,7 @@ Command: index      build reduced-reference alignment index
          align      align FASTQ reads + collect QC statistics
          pop+con    estimate genetic ancestry and contamination
          report     render the final QC report
+         all        run the whole pipeline (index -> align -> pop+con -> report)
 """
 
 
@@ -113,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
             return run_popcon(rest)
         if cmd == "report":
             return run_report(rest)
+        if cmd == "all":
+            from .pipeline import run_pipeline
+
+            return run_pipeline(rest)
     except FastQuickError:
         return 1
     print(USAGE, file=sys.stderr)

@@ -1,0 +1,97 @@
+"""Multi-chip scaling: data-parallel QC over a device mesh.
+
+The reference is single-node pthreads (SURVEY 2f); the TPU-native scaling
+model is: FASTQ shards data-parallel over a ``jax.sharding.Mesh`` axis
+'dp', the reduced-reference index replicated per chip (it is a few MB),
+and every statistic merged with psum -- all StatCollector accumulators
+are vectors/histograms/counters, hence commutative sums
+(reference src/StatCollector.h:70-119).
+
+The sharded step below is the device QC slice: k-mer filter -> exact-match
+backward search (both strands) -> position resolution -> pileup
+scatter-adds -> psum.  The full inexact engine (ops/batch_search.py) runs
+per-shard with the same layout; its outputs feed the same psum-merged
+accumulators.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.fm import DeviceFM, match_exact, sa_lookup
+from ..ops.kmer import filter_reads
+from ..ops.pileup import depth_pileup
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def qc_step_local(words, occ, sa, L2, primary, n_text: int,
+                  bitmaps, thresh: int,
+                  seqs, rseqs, lens, quals):
+    """Single-shard QC step (runs inside shard_map).
+
+    seqs/rseqs: (B, L) reversed / revcomp codes; lens: (B,);
+    quals: (B, L) phred.  Returns stat accumulators (commutative sums).
+    """
+    fm = DeviceFM(words=words, occ=occ, sa=sa, L2=L2, primary=primary,
+                  n=n_text)
+    B, L = seqs.shape
+    # K1: k-mer filter on the forward read (reverse of seqs)
+    fwd = jnp.flip(seqs, axis=1)  # forward codes (approx: full-length pad)
+    kept = filter_reads(bitmaps, fwd, lens, thresh) if bitmaps is not None \
+        else jnp.ones(B, bool)
+    # K2: exact-match backward search, both strands; strand a searches
+    # index 1-a (bwt_match_gap convention, libbwa/bwtgap.c:148)
+    k0, l0 = match_exact(fm, 1, seqs, lens)  # reversed read on reverse index
+    k1, l1 = match_exact(fm, 0, rseqs, lens)  # revcomp read on forward index
+    hit0 = kept & (k0 <= l0)
+    hit1 = kept & (k1 <= l1) & ~hit0
+    # position conversion mirrors bwa_cal_pac_pos (src/BwtMapper.cpp:294-328)
+    sel1 = jnp.ones(B, jnp.int32)
+    pos0 = n_text - (sa_lookup(fm, sel1, jnp.where(hit0, k0, 0)) + lens)
+    pos1 = sa_lookup(fm, jnp.zeros(B, jnp.int32), jnp.where(hit1, k1, 0))
+    mapped = hit0 | hit1
+    positions = jnp.where(hit0, pos0, pos1)
+    stats = depth_pileup(positions, lens, mapped, quals, n_text)
+    stats["n_mapped"] = mapped.astype(jnp.int32).sum()
+    stats["n_reads"] = jnp.int32(B)
+    stats["n_filtered"] = (~kept).astype(jnp.int32).sum()
+    return stats
+
+
+def make_sharded_qc_step(mesh: Mesh, fm_arrays: dict, n_text: int,
+                         bitmaps=None, thresh: int = 3, axis: str = "dp"):
+    """Build the pjit-ed multi-chip QC step: reads sharded over `axis`,
+    index replicated, stats psum-merged."""
+
+    def step(words, occ, sa, L2, primary, seqs, rseqs, lens, quals):
+        stats = qc_step_local(words, occ, sa, L2, primary, n_text,
+                              bitmaps, thresh, seqs, rseqs, lens, quals)
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), stats)
+
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P(axis, None), P(axis, None), P(axis), P(axis, None)),
+        out_specs=P(),
+        check_rep=False)
+
+    @jax.jit
+    def run(seqs, rseqs, lens, quals):
+        return sharded(fm_arrays["words"], fm_arrays["occ"], fm_arrays["sa"],
+                       fm_arrays["L2"], fm_arrays["primary"],
+                       seqs, rseqs, lens, quals)
+
+    return run

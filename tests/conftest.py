@@ -2,11 +2,20 @@
 
 Multi-chip sharding is validated on this fake mesh (the driver separately
 dry-runs the real multi-chip path via __graft_entry__.dryrun_multichip).
+
+The session image pre-registers a TPU PJRT plugin from sitecustomize
+(which imports jax before any conftest runs), so plain env vars are too
+late -- we override through jax.config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
