@@ -78,18 +78,41 @@ class PairEndMapper:
         self.rng = Rand48(11)  # srand48(bns->seed), BwtMapper.cpp:1427
         self.g_hash: dict[int, list[int]] = {}  # SA-interval position cache
 
+    def _open_reader(self, path: str):
+        """Native C++ loader fast path (parse+trim+filter); Python
+        fallback (also used when downsampling needs the seeded RNG)."""
+        opt = self.opt
+        if opt.frac >= 1.0:
+            try:
+                from .seqs import NativeFastqReader
+
+                return NativeFastqReader(path, self.idx.kmer, opt.trim_qual,
+                                         self.idx.kmer.thresh), True
+            except Exception:
+                pass
+        return FastqReader(path), False
+
+    def _next_batch(self, reader, native: bool, batch_size: int,
+                    round_no: int) -> list[Read]:
+        opt = self.opt
+        from .opts import BWA_MODE_COMPREAD
+
+        if native:
+            return reader.read_batch(batch_size,
+                                     bool(opt.mode & BWA_MODE_COMPREAD))
+        return read_batch(reader, self.idx.kmer, batch_size, opt.mode,
+                          opt.trim_qual, opt.frac, round_no)
+
     def run(self, fq1: str, fq2: str, fsc: FileStat,
             batch_size: int = READ_BUFFER_SIZE) -> None:
         opt = self.opt
-        r1 = FastqReader(fq1)
-        r2 = FastqReader(fq2)
+        r1, nat1 = self._open_reader(fq1)
+        r2, nat2 = self._open_reader(fq2)
         last_ii = IsizeInfo()
         round_no = 0
         while True:
-            b0 = read_batch(r1, self.idx.kmer, batch_size, opt.mode,
-                            opt.trim_qual, opt.frac, round_no)
-            b1 = read_batch(r2, self.idx.kmer, batch_size, opt.mode,
-                            opt.trim_qual, opt.frac, round_no)
+            b0 = self._next_batch(r1, nat1, batch_size, round_no)
+            b1 = self._next_batch(r2, nat2, batch_size, round_no)
             round_no += 1
             if not b0 and not b1:
                 break
@@ -244,11 +267,10 @@ class SingleEndMapper(PairEndMapper):
         opt = self.opt
         idx = self.idx
         fms = (idx.fm_fwd, idx.fm_rev)
-        reader = FastqReader(fq1)
+        reader, native = self._open_reader(fq1)
         round_no = 0
         while True:
-            batch = read_batch(reader, idx.kmer, batch_size, opt.mode,
-                               opt.trim_qual, opt.frac, round_no)
+            batch = self._next_batch(reader, native, batch_size, round_no)
             round_no += 1
             if not batch:
                 break

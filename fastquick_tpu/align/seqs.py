@@ -118,6 +118,84 @@ class FastqReader:
         self._fh.close()
 
 
+class NativeFastqReader:
+    """C++ fast path: gzip decode + nt4 encode + trim + k-mer filter in
+    native code (see native/fastq_loader.cpp); yields the same Read
+    objects as the Python path."""
+
+    MAX_LEN = 1024
+    NAME_STRIDE = 256
+
+    def __init__(self, path: str, kmer: KmerFilter | None, trim_qual: int,
+                 thresh: int):
+        import ctypes
+
+        from ..native import get_lib
+
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._h = self._lib.fq_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(path)
+        self.trim_qual = trim_qual
+        self._bitmap_ptrs = None
+        self.thresh = 0
+        if kmer is not None and thresh > 0:
+            bitmaps = kmer.byte_bitmaps()
+            arr = (ctypes.c_void_p * 6)(
+                *[b.ctypes.data_as(ctypes.c_void_p) for b in bitmaps])
+            self._bitmap_ptrs = arr
+            self._bitmaps_keepalive = bitmaps
+            self.thresh = thresh
+
+    def read_batch(self, n_needed: int, is_comp: bool) -> list[Read]:
+        import ctypes
+
+        ML, NS_ = self.MAX_LEN, self.NAME_STRIDE
+        seqs = np.empty((n_needed, ML), dtype=np.uint8)
+        quals = np.empty((n_needed, ML), dtype=np.uint8)
+        lens = np.empty(n_needed, dtype=np.int32)
+        full_lens = np.empty(n_needed, dtype=np.int32)
+        filt = np.empty(n_needed, dtype=np.uint8)
+        names = ctypes.create_string_buffer(n_needed * NS_)
+        n = self._lib.fq_read_batch(
+            self._h, n_needed, ML, self.trim_qual,
+            self._bitmap_ptrs, self.thresh,
+            seqs.ctypes.data_as(ctypes.c_void_p),
+            quals.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            full_lens.ctypes.data_as(ctypes.c_void_p),
+            filt.ctypes.data_as(ctypes.c_void_p),
+            names, NS_)
+        if n < 0:
+            raise RuntimeError("malformed FASTQ input")
+        out: list[Read] = []
+        for i in range(n):
+            p = Read()
+            fl = int(full_lens[i])
+            tl = int(lens[i])
+            p.full_len = fl
+            p.clip_len = p.len = tl
+            codes = seqs[i, :fl].copy()
+            p.qual = quals[i, :fl].copy()
+            if not p.qual.any():
+                p.qual = None
+            p.name = names.raw[i * NS_: (i + 1) * NS_].split(b"\0")[0].decode()
+            if filt[i]:
+                p.filtered = True
+                p.seq = codes
+            else:
+                p.rseq = seq_reverse(codes[:tl], is_comp)
+                p.seq = np.concatenate(
+                    [seq_reverse(codes[:tl], False), codes[tl:]])
+            out.append(p)
+        return out
+
+    def close(self):
+        self._lib.fq_close(self._h)
+
+
 def read_batch(reader: FastqReader, kmer: KmerFilter | None, n_needed: int,
                mode: int, trim_qual: int, frac: float, seed: int
                ) -> list[Read]:

@@ -181,6 +181,23 @@ class KmerFilter:
                 return True
         return False
 
+    _byte_bitmaps: list[np.ndarray] | None = None
+
+    def byte_bitmaps(self) -> list[np.ndarray]:
+        """Dense per-table byte bitmaps in the reference's layout
+        (bit k at byte k>>3, bit k&7) for the native filter.  Cached;
+        6 x 512 MiB."""
+        if self._byte_bitmaps is None:
+            out = []
+            for t in range(N_TABLES):
+                table = np.zeros(1 << 29, dtype=np.uint8)
+                k = self.keys[t]
+                np.bitwise_or.at(table, k >> 3,
+                                 (np.uint8(1) << (k & 7)).astype(np.uint8))
+                out.append(table)
+            self._byte_bitmaps = out
+        return self._byte_bitmaps
+
     def bitmaps_uint32(self) -> np.ndarray:
         """Dense (6, 2^27) uint32 bitmap array for device HBM (3 GiB)."""
         n_words = 1 << 27  # 2^32 bits / 32

@@ -1,0 +1,54 @@
+"""Native (C++) runtime components, built on demand with g++.
+
+The reference's data loader is C (libbwa kseq + zlib); this package holds
+the TPU-native equivalents, exposed through ctypes (no pybind11 in the
+environment).  Falls back to the pure-Python paths when no compiler is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_fastq_loader.so")
+_SRC = os.path.join(_HERE, "fastq_loader.cpp")
+
+_lib = None
+_tried = False
+
+
+def get_lib():
+    """Build (once) and load the native loader; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz"],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        lib.fq_open.restype = ctypes.c_void_p
+        lib.fq_open.argtypes = [ctypes.c_char_p]
+        lib.fq_close.argtypes = [ctypes.c_void_p]
+        lib.fq_read_batch.restype = ctypes.c_int
+        lib.fq_read_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.fq_trim_len.restype = ctypes.c_int
+        lib.fq_trim_len.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                    ctypes.c_int]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - environment dependent
+        print(f"[fastquick_tpu.native] native loader unavailable: {e}",
+              file=sys.stderr)
+        _lib = None
+    return _lib
