@@ -28,7 +28,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fq_jax_cache")
+
 BASELINE_READS_PER_SEC = 100_000.0
+
+
+def _enable_jax_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def build_index(n_bp: int, seed: int = 0):
@@ -77,6 +87,7 @@ def make_reads(idx, n_reads: int, read_len: int, seed: int = 1):
 
 
 def main() -> int:
+    _enable_jax_cache()
     from fastquick_tpu.align.opts import GapOpt
     from fastquick_tpu.ops.batch_search import BatchEngine
 
