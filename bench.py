@@ -87,27 +87,33 @@ def make_reads(idx, n_reads: int, read_len: int, seed: int = 1):
 
 
 def main() -> int:
-    _enable_jax_cache()
     from fastquick_tpu.align.opts import GapOpt
-    from fastquick_tpu.ops.batch_search import BatchEngine
 
     n_bp = int(os.environ.get("FQ_BENCH_REF_BP", 2_000_000))
-    n_reads = int(os.environ.get("FQ_BENCH_READS", 8192))
+    n_reads = int(os.environ.get("FQ_BENCH_READS", 32768))
     read_len = int(os.environ.get("FQ_BENCH_READ_LEN", 151))
-    batch = int(os.environ.get("FQ_BENCH_BATCH", 2048))
+    which = os.environ.get("FQ_BENCH_ENGINE", "native")
 
     t0 = time.time()
     idx = build_index(n_bp)
     print(f"# index built: {n_bp} bp in {time.time() - t0:.1f}s",
           file=sys.stderr)
-    engine = BatchEngine(idx, max_batch=batch)
+    if which == "tpu":
+        _enable_jax_cache()
+        from fastquick_tpu.ops.batch_search import BatchEngine
+
+        engine = BatchEngine(idx)
+    else:
+        from fastquick_tpu.align.engine import NativeEngine
+
+        engine = NativeEngine(idx)
     opt = GapOpt()
 
-    # warmup / compile
-    warm = make_reads(idx, batch, read_len, seed=7)
+    # warmup (jit compile for the tpu engine; cache warms for native)
+    warm = make_reads(idx, 2048, read_len, seed=7)
     t0 = time.time()
     engine.align_batch(warm, opt)
-    print(f"# warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# warmup {time.time() - t0:.1f}s", file=sys.stderr)
 
     reads = make_reads(idx, n_reads, read_len, seed=1)
     t0 = time.time()
@@ -115,11 +121,11 @@ def main() -> int:
     dt = time.time() - t0
     n_mapped = sum(1 for p in reads if p.aln)
     rps = n_reads / dt
-    print(f"# {n_reads} reads in {dt:.2f}s, {n_mapped} with hits",
-          file=sys.stderr)
+    print(f"# engine={which}: {n_reads} reads in {dt:.2f}s, "
+          f"{n_mapped} with hits", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "aligned_reads_per_sec_per_chip",
+        "metric": "aligned_reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),

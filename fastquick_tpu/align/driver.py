@@ -443,17 +443,17 @@ def run_align(argv: list[str]) -> int:
 
     engine_kind = pl["engine"]
     if engine_kind == "auto":
-        try:
-            import jax
+        from ..native import get_aligner_lib
 
-            engine_kind = ("tpu" if any(d.platform != "cpu"
-                                        for d in jax.devices()) else "host")
-        except Exception:
-            engine_kind = "host"
+        engine_kind = "native" if get_aligner_lib() is not None else "host"
     if engine_kind == "tpu":
         from ..ops.batch_search import BatchEngine
 
         engine = BatchEngine(idx)
+    elif engine_kind == "native":
+        from .engine import NativeEngine
+
+        engine = NativeEngine(idx)
     else:
         engine = HostEngine(idx)
     notice("Using %s alignment engine", engine_kind)

@@ -16,6 +16,92 @@ from .opts import GapOpt, bwa_cal_maxdiff
 from .seqs import Read
 
 
+class NativeEngine:
+    """C++ exact search engine (native/aligner.cpp) over the packed index;
+    redoes hit-list overflows (>256 hits) with the Python oracle."""
+
+    OUT_CAP = 256
+
+    def __init__(self, idx: ReducedIndex):
+        import ctypes
+
+        from ..native import get_aligner_lib
+
+        self.idx = idx
+        self._lib = get_aligner_lib()
+        if self._lib is None:
+            raise RuntimeError("native aligner unavailable")
+        self._host = HostEngine(idx)
+
+        def prep(fm):
+            words = np.ascontiguousarray(
+                np.concatenate([fm.bwt_words,
+                                np.zeros(8, np.uint32)]))
+            occ = np.ascontiguousarray(fm.occ.astype(np.int32))
+            sa = np.ascontiguousarray(fm.sa.astype(np.int32))
+            L2 = np.ascontiguousarray((fm.C[:4] - 1).astype(np.int32))
+            return words, occ, sa, L2, np.int32(fm.primary)
+
+        self._keep = [prep(idx.fm_fwd), prep(idx.fm_rev)]
+        f, r = self._keep
+        cp = ctypes.c_void_p
+        self._h = self._lib.aln_create(
+            f[0].ctypes.data_as(cp), f[1].ctypes.data_as(cp),
+            f[2].ctypes.data_as(cp), f[3].ctypes.data_as(cp), int(f[4]),
+            r[0].ctypes.data_as(cp), r[1].ctypes.data_as(cp),
+            r[2].ctypes.data_as(cp), r[3].ctypes.data_as(cp), int(r[4]),
+            idx.fm_fwd.n)
+
+    def align_batch(self, reads: list[Read], opt: GapOpt) -> None:
+        import ctypes
+
+        from .core import Aln
+
+        for p in reads:
+            p.sa = 0
+            p.type = 0
+            p.c1 = p.c2 = 0
+            p.n_aln = 0
+            p.aln = []
+        todo = [p for p in reads if not p.filtered]
+        if not todo:
+            return
+        B = len(todo)
+        L = max(p.len for p in todo)
+        seqs = np.full((B, 2, L), 4, dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        mds = np.zeros(B, dtype=np.int32)
+        for b, p in enumerate(todo):
+            seqs[b, 0, : p.len] = p.seq[: p.len]
+            seqs[b, 1, : p.len] = p.rseq[: p.len]
+            lens[b] = p.len
+            mds[b] = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
+                      if opt.fnr > 0.0 else opt.max_diff)
+        batch_md = (bwa_cal_maxdiff(int(L), thres=opt.fnr)
+                    if opt.fnr > 0.0 else opt.max_diff)
+        max_gapo = min(opt.max_gapo, batch_md)
+        out_n = np.zeros(B, dtype=np.int32)
+        out = np.zeros((B, self.OUT_CAP, 7), dtype=np.int32)
+        cp = ctypes.c_void_p
+        self._lib.aln_batch(
+            self._h, seqs.ctypes.data_as(cp), lens.ctypes.data_as(cp),
+            mds.ctypes.data_as(cp), B, L, opt.s_mm, opt.s_gapo, opt.s_gape,
+            int(max_gapo), opt.max_gape, opt.indel_end_skip, opt.max_del_occ,
+            opt.max_entries, opt.max_top2, opt.seed_len, opt.max_seed_diff,
+            out_n.ctypes.data_as(cp), out.ctypes.data_as(cp), self.OUT_CAP)
+        redo = []
+        for b, p in enumerate(todo):
+            if out_n[b] < 0:
+                redo.append(p)
+                continue
+            p.aln = [Aln(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                         int(r[4]), int(r[5]), int(r[6]))
+                     for r in out[b, : out_n[b]]]
+            p.n_aln = len(p.aln)
+        if redo:
+            self._host.align_batch(redo, opt)
+
+
 class HostEngine:
     """bwa_cal_sa_reg_gap equivalent (reference src/BwtMapper.cpp:63-168)."""
 

@@ -170,6 +170,7 @@ class NativeFastqReader:
             names, NS_)
         if n < 0:
             raise RuntimeError("malformed FASTQ input")
+        raw = names.raw  # single copy; per-item .raw slicing copies 67MB each
         out: list[Read] = []
         for i in range(n):
             p = Read()
@@ -181,7 +182,7 @@ class NativeFastqReader:
             p.qual = quals[i, :fl].copy()
             if not p.qual.any():
                 p.qual = None
-            p.name = names.raw[i * NS_: (i + 1) * NS_].split(b"\0")[0].decode()
+            p.name = raw[i * NS_: (i + 1) * NS_].split(b"\0")[0].decode()
             if filt[i]:
                 p.filtered = True
                 p.seq = codes

@@ -16,9 +16,44 @@ import sys
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_fastq_loader.so")
 _SRC = os.path.join(_HERE, "fastq_loader.cpp")
+_ALN_SO = os.path.join(_HERE, "_aligner.so")
+_ALN_SRC = os.path.join(_HERE, "aligner.cpp")
 
 _lib = None
 _tried = False
+_aln_lib = None
+_aln_tried = False
+
+
+def get_aligner_lib():
+    """Build (once) and load the native aligner; None if unavailable."""
+    global _aln_lib, _aln_tried
+    if _aln_lib is not None or _aln_tried:
+        return _aln_lib
+    _aln_tried = True
+    try:
+        if (not os.path.exists(_ALN_SO)
+                or os.path.getmtime(_ALN_SO) < os.path.getmtime(_ALN_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-pthread", "-o", _ALN_SO, _ALN_SRC],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_ALN_SO)
+        lib.aln_create.restype = ctypes.c_void_p
+        lib.aln_create.argtypes = [ctypes.c_void_p] * 4 + [ctypes.c_int32] \
+            + [ctypes.c_void_p] * 4 + [ctypes.c_int32, ctypes.c_int64]
+        lib.aln_destroy.argtypes = [ctypes.c_void_p]
+        lib.aln_batch.restype = None
+        lib.aln_batch.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+             ctypes.c_void_p] + [ctypes.c_int] * 13
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int])
+        _aln_lib = lib
+    except Exception as e:  # pragma: no cover
+        print(f"[fastquick_tpu.native] native aligner unavailable: {e}",
+              file=sys.stderr)
+        _aln_lib = None
+    return _aln_lib
 
 
 def get_lib():

@@ -1,0 +1,475 @@
+// Native exact aligner engine: the inexact FM backward search on the
+// fastquick_tpu index layout.
+//
+// This is the production host engine for the search core, implementing
+// the same semantics as the Python oracle in align/core.py (score-bucketed
+// best-first search with LIFO buckets, seeding lower bounds, gap_shadow,
+// top2 cutoffs -- the behavior of the reference's seed aligner,
+// libbwa/bwtgap.c:104-264) over OUR index arrays: 2-bit packed BWT words
+// with 128-base occ checkpoints and a fully resident suffix array.
+// Written from the oracle's specification; the data layout, structures
+// and code are this project's own.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int OCC_BLOCK = 128;
+constexpr int WPB = 8;  // words per block
+
+struct Dir {
+  const uint32_t *words;
+  const int32_t *occ;  // (n_blocks+1) x 4
+  const int32_t *sa;   // n+1
+  int32_t L2[4];
+  int32_t primary;
+};
+
+struct Index {
+  Dir dir[2];  // 0 = forward, 1 = reverse
+  int64_t n;
+};
+
+inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
+
+// count of base c in the first `prefix` bases of word w (big-endian 2-bit)
+inline int word_prefix_count(uint32_t w, int c, int prefix) {
+  static const uint32_t pats[4] = {0x00000000u, 0x55555555u, 0xAAAAAAAAu,
+                                   0xFFFFFFFFu};
+  uint32_t x = w ^ pats[c];
+  uint32_t y = x | (x >> 1);
+  uint32_t match = ~y & 0x55555555u;
+  uint32_t mask = prefix >= 16 ? 0xFFFFFFFFu
+                               : (prefix <= 0 ? 0u : (0xFFFFFFFFu << (32 - 2 * prefix)));
+  return popcount32(match & mask);
+}
+
+// occ over closed rows [0..k] for all four bases
+inline void occ4(const Dir &d, int64_t k, int64_t n, int32_t out[4]) {
+  int64_t kk = k + 1;
+  int64_t kp = kk - (kk > d.primary ? 1 : 0);
+  if (kp < 0) kp = 0;
+  if (kp > n) kp = n;
+  int64_t block = kp / OCC_BLOCK;
+  int rem = (int)(kp - block * OCC_BLOCK);
+  const int32_t *ck = d.occ + block * 4;
+  int c0 = ck[0], c1 = ck[1], c2 = ck[2], c3 = ck[3];
+  const uint32_t *w = d.words + block * WPB;
+  for (int wi = 0; wi < WPB && rem > 0; ++wi, rem -= 16) {
+    int p = rem > 16 ? 16 : rem;
+    c0 += word_prefix_count(w[wi], 0, p);
+    c1 += word_prefix_count(w[wi], 1, p);
+    c2 += word_prefix_count(w[wi], 2, p);
+    c3 += word_prefix_count(w[wi], 3, p);
+  }
+  out[0] = c0;
+  out[1] = c1;
+  out[2] = c2;
+  out[3] = c3;
+}
+
+inline int32_t occ1(const Dir &d, int64_t k, int64_t n, int c) {
+  int32_t o[4];
+  occ4(d, k, n, o);
+  return o[c];
+}
+
+struct Entry {
+  int32_t k, l;
+  int32_t info;  // score<<21 | a<<20 | i
+  int16_t n_mm, n_gapo, n_gape, state;
+  int32_t last_diff_pos;
+};
+
+struct Stack {
+  std::vector<std::vector<Entry>> slots;
+  std::vector<int> counts;
+  int best, n_entries, n_buckets;
+
+  void init(int nb) {
+    n_buckets = nb;
+    slots.assign(nb, {});
+    counts.assign(nb, 0);
+    best = nb;
+    n_entries = 0;
+  }
+  void reset() {
+    std::fill(counts.begin(), counts.end(), 0);
+    best = n_buckets;
+    n_entries = 0;
+  }
+  void push(int score, int a, int i, int32_t k, int32_t l, int mm, int go,
+            int ge, int state, bool is_diff) {
+    auto &b = slots[score];
+    int n = counts[score];
+    if (n == (int)b.size()) b.push_back(Entry{0, 0, 0, 0, 0, 0, 0, 0});
+    Entry &e = b[n];
+    e.info = (score << 21) | (a << 20) | i;
+    e.k = k;
+    e.l = l;
+    e.n_mm = (int16_t)mm;
+    e.n_gapo = (int16_t)go;
+    e.n_gape = (int16_t)ge;
+    e.state = (int16_t)state;
+    if (is_diff) e.last_diff_pos = i;  // else: slot-persistent stale value
+    counts[score] = n + 1;
+    ++n_entries;
+    if (best > score) best = score;
+  }
+  Entry pop() {
+    int s = best;
+    Entry e = slots[s][--counts[s]];
+    --n_entries;
+    if (counts[s] == 0 && n_entries) {
+      int i = s + 1;
+      while (i < n_buckets && counts[i] == 0) ++i;
+      best = i;
+    } else if (n_entries == 0) {
+      best = n_buckets;
+    }
+    return e;
+  }
+};
+
+struct Width {
+  int32_t w, bid;
+};
+
+void cal_width(const Dir &d, int64_t n, int len, const uint8_t *s,
+               Width *width) {
+  int64_t k = 0, l = n;
+  int bid = 0;
+  for (int i = 0; i < len; ++i) {
+    int c = s[i];
+    if (c < 4) {
+      int32_t ok = occ1(d, k - 1, n, c);
+      int32_t ol = occ1(d, l, n, c);
+      k = d.L2[c] + ok + 1;
+      l = d.L2[c] + ol;
+    }
+    if (k > l || c > 3) {
+      k = 0;
+      l = n;
+      ++bid;
+    }
+    width[i].w = (int32_t)(l - k + 1);
+    width[i].bid = bid;
+  }
+  width[len].w = 0;
+  width[len].bid = ++bid;
+}
+
+bool match_exact_alt(const Dir &d, int64_t n, int len, const uint8_t *s,
+                     int32_t *k0, int32_t *l0) {
+  int64_t k = *k0, l = *l0;
+  for (int i = len - 1; i >= 0; --i) {
+    int c = s[i];
+    if (c > 3) return false;
+    int32_t ok = occ1(d, k - 1, n, c);
+    int32_t ol = occ1(d, l, n, c);
+    k = d.L2[c] + ok + 1;
+    l = d.L2[c] + ol;
+    if (k > l) return false;
+  }
+  *k0 = (int32_t)k;
+  *l0 = (int32_t)l;
+  return true;
+}
+
+void gap_shadow(int x, int last_diff_pos, int64_t maxv, Width *w) {
+  int j = 0;
+  for (int i = 0; i < last_diff_pos; ++i) {
+    if (w[i].w > x)
+      w[i].w -= x;
+    else if (w[i].w == x) {
+      w[i].bid = 1;
+      w[i].w = (int32_t)(maxv - (++j));
+    }
+  }
+}
+
+struct Opt {
+  int s_mm, s_gapo, s_gape;
+  int max_diff, max_gapo, max_gape;
+  int indel_end_skip, max_del_occ, max_entries, max_top2;
+  int seed_len, max_seed_diff;
+  int mode_gape;  // BWA_MODE_GAPE set
+};
+
+inline int aln_score(const Opt &o, int m, int go, int ge) {
+  return m * o.s_mm + go * o.s_gapo + ge * o.s_gape;
+}
+
+constexpr int STATE_M = 0, STATE_I = 1, STATE_D = 2;
+
+// the inexact search; appends hits (n_mm,n_gapo,n_gape,a,k,l,score) x7
+int match_gap(const Index &idx, int len, const uint8_t *seqs[2], Width *w[2],
+              Width *seed_w[2], bool use_seed, const Opt &opt, Stack &stack,
+              int32_t *out, int out_cap) {
+  int best_score = aln_score(opt, opt.max_diff + 1, opt.max_gapo + 1,
+                             opt.max_gape + 1);
+  int best_diff = opt.max_diff + 1;
+  int max_diff = opt.max_diff;
+  int best_cnt = 0;
+  int n_aln = 0;
+  int64_t n = idx.n;
+
+  int n_n = 0;
+  for (int j = 0; j < len; ++j)
+    if (seqs[0][j] > 3) ++n_n;
+  if (n_n > max_diff) return 0;
+
+  stack.reset();
+  stack.push(0, 0, len, 0, (int32_t)n, 0, 0, 0, 0, false);
+  stack.push(0, 1, len, 0, (int32_t)n, 0, 0, 0, 0, false);
+
+  while (stack.n_entries) {
+    if (stack.n_entries > opt.max_entries) break;
+    Entry e = stack.pop();
+    int32_t k = e.k, l = e.l;
+    int a = (e.info >> 20) & 1;
+    int i = e.info & 0xFFFF;
+    int e_score = e.info >> 21;
+    if (e_score > best_score + opt.s_mm) break;
+
+    int m = max_diff - (e.n_mm + e.n_gapo);
+    if (opt.mode_gape) m -= e.n_gape;
+    if (m < 0) continue;
+    const Dir &d = idx.dir[1 - a];
+    const uint8_t *s = seqs[a];
+    Width *width = w[a];
+    int m_seed = 0;
+    Width *sw = nullptr;
+    if (use_seed) {
+      sw = seed_w[a];
+      m_seed = opt.max_seed_diff - (e.n_mm + e.n_gapo);
+      if (opt.mode_gape) m_seed -= e.n_gape;
+    }
+    if (i > 0 && m < width[i - 1].bid) continue;
+
+    bool hit_found = false;
+    if (i == 0) {
+      hit_found = true;
+    } else if (m == 0 && (e.state == STATE_M || opt.mode_gape ||
+                          e.n_gape == opt.max_gape)) {
+      if (match_exact_alt(d, n, i, s, &k, &l))
+        hit_found = true;
+      else
+        continue;
+    }
+
+    if (hit_found) {
+      int score = aln_score(opt, e.n_mm, e.n_gapo, e.n_gape);
+      bool do_add = true;
+      if (n_aln == 0) {
+        best_score = score;
+        best_diff = e.n_mm + e.n_gapo;
+        if (opt.mode_gape) best_diff += e.n_gape;
+        max_diff = best_diff + 1 > opt.max_diff ? opt.max_diff : best_diff + 1;
+      }
+      if (score == best_score)
+        best_cnt += l - k + 1;
+      else if (best_cnt > opt.max_top2)
+        break;
+      if (e.n_gapo) {
+        for (int j = 0; j < n_aln; ++j)
+          if (out[j * 7 + 4] == k && out[j * 7 + 5] == l) {
+            do_add = false;
+            break;
+          }
+      }
+      if (do_add) {
+        gap_shadow(l - k + 1, e.last_diff_pos, n, width);
+        if (n_aln < out_cap) {
+          int32_t *r = out + n_aln * 7;
+          r[0] = e.n_mm;
+          r[1] = e.n_gapo;
+          r[2] = e.n_gape;
+          r[3] = a;
+          r[4] = k;
+          r[5] = l;
+          r[6] = score;
+        }
+        ++n_aln;
+      }
+      continue;
+    }
+
+    --i;
+    int32_t cnt_k[4], cnt_l[4];
+    occ4(d, (int64_t)k - 1, n, cnt_k);
+    occ4(d, l, n, cnt_l);
+    int64_t occw = (int64_t)l - k + 1;
+
+    bool allow_diff = true, allow_m = true;
+    if (i > 0) {
+      int ii = i - (len - opt.seed_len);
+      if (width[i - 1].bid > m - 1)
+        allow_diff = false;
+      else if (width[i - 1].bid == m - 1 && width[i].bid == m - 1 &&
+               width[i - 1].w == width[i].w)
+        allow_m = false;
+      if (sw && ii > 0) {
+        if (sw[ii - 1].bid > m_seed - 1)
+          allow_diff = false;
+        else if (sw[ii - 1].bid == m_seed - 1 && sw[ii].bid == m_seed - 1 &&
+                 sw[ii - 1].w == sw[ii].w)
+          allow_m = false;
+      }
+    }
+
+    int tmp = e.n_gapo + e.n_gape;  // no LOGGAP mode
+    if (allow_diff && i >= opt.indel_end_skip + tmp &&
+        len - i >= opt.indel_end_skip + tmp) {
+      if (e.state == STATE_M) {
+        if (e.n_gapo < opt.max_gapo) {
+          stack.push(aln_score(opt, e.n_mm, e.n_gapo + 1, e.n_gape), a, i, k,
+                     l, e.n_mm, e.n_gapo + 1, e.n_gape, STATE_I, true);
+          for (int j = 0; j < 4; ++j) {
+            int32_t kj = d.L2[j] + cnt_k[j] + 1;
+            int32_t lj = d.L2[j] + cnt_l[j];
+            if (kj <= lj)
+              stack.push(aln_score(opt, e.n_mm, e.n_gapo + 1, e.n_gape), a,
+                         i + 1, kj, lj, e.n_mm, e.n_gapo + 1, e.n_gape,
+                         STATE_D, true);
+          }
+        }
+      } else if (e.state == STATE_I) {
+        if (e.n_gape < opt.max_gape)
+          stack.push(aln_score(opt, e.n_mm, e.n_gapo, e.n_gape + 1), a, i, k,
+                     l, e.n_mm, e.n_gapo, e.n_gape + 1, STATE_I, true);
+      } else if (e.state == STATE_D) {
+        if (e.n_gape < opt.max_gape) {
+          if (e.n_gapo + e.n_gape < max_diff || occw < opt.max_del_occ) {
+            for (int j = 0; j < 4; ++j) {
+              int32_t kj = d.L2[j] + cnt_k[j] + 1;
+              int32_t lj = d.L2[j] + cnt_l[j];
+              if (kj <= lj)
+                stack.push(aln_score(opt, e.n_mm, e.n_gapo, e.n_gape + 1), a,
+                           i + 1, kj, lj, e.n_mm, e.n_gapo, e.n_gape + 1,
+                           STATE_D, true);
+            }
+          }
+        }
+      }
+    }
+    if (allow_diff && allow_m) {
+      for (int j = 1; j <= 4; ++j) {
+        int c = (s[i] + j) & 3;
+        bool is_mm = (j != 4 || s[i] > 3);
+        int32_t kj = d.L2[c] + cnt_k[c] + 1;
+        int32_t lj = d.L2[c] + cnt_l[c];
+        if (kj <= lj)
+          stack.push(aln_score(opt, e.n_mm + (is_mm ? 1 : 0), e.n_gapo,
+                               e.n_gape),
+                     a, i, kj, lj, e.n_mm + (is_mm ? 1 : 0), e.n_gapo,
+                     e.n_gape, STATE_M, is_mm);
+      }
+    } else if (s[i] < 4) {
+      int c = s[i] & 3;
+      int32_t kj = d.L2[c] + cnt_k[c] + 1;
+      int32_t lj = d.L2[c] + cnt_l[c];
+      if (kj <= lj)
+        stack.push(aln_score(opt, e.n_mm, e.n_gapo, e.n_gape), a, i, kj, lj,
+                   e.n_mm, e.n_gapo, e.n_gape, STATE_M, false);
+    }
+  }
+  return n_aln;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *aln_create(const uint32_t *words_f, const int32_t *occ_f,
+                 const int32_t *sa_f, const int32_t *L2_f, int32_t primary_f,
+                 const uint32_t *words_r, const int32_t *occ_r,
+                 const int32_t *sa_r, const int32_t *L2_r, int32_t primary_r,
+                 int64_t n) {
+  Index *idx = new Index();
+  idx->n = n;
+  idx->dir[0] = Dir{words_f, occ_f, sa_f, {L2_f[0], L2_f[1], L2_f[2], L2_f[3]},
+                    primary_f};
+  idx->dir[1] = Dir{words_r, occ_r, sa_r, {L2_r[0], L2_r[1], L2_r[2], L2_r[3]},
+                    primary_r};
+  return idx;
+}
+
+void aln_destroy(void *h) { delete (Index *)h; }
+
+// seqs: B x 2 x L (reversed read, revcomp read), lens: B.
+// out_alns: B x out_cap x 7; out_n: B (clamped to out_cap).
+// max_diff per read supplied by caller (fnr table); max_gapo batch-level.
+void aln_batch_range(Index *idxp, const uint8_t *seqs, const int32_t *lens,
+                     const int32_t *max_diffs, int b0, int b1, int L,
+                     Opt opt0, int seed_len, int32_t *out_n,
+                     int32_t *out_alns, int out_cap) {
+  Index &idx = *idxp;
+  Opt opt = opt0;
+  int md_max = 0;
+  for (int b = b0; b < b1; ++b)
+    if (max_diffs[b] > md_max) md_max = max_diffs[b];
+  Stack stack;
+  stack.init(aln_score(opt, md_max + 1, opt.max_gapo + 1, opt.max_gape + 1)
+             + 1);
+  std::vector<Width> w0(L + 1), w1(L + 1), sw0(seed_len + 1),
+      sw1(seed_len + 1);
+  for (int b = b0; b < b1; ++b) {
+    int len = lens[b];
+    const uint8_t *s0 = seqs + (size_t)b * 2 * L;
+    const uint8_t *s1 = s0 + L;
+    const uint8_t *ss[2] = {s0, s1};
+    opt.max_diff = max_diffs[b];
+    opt.seed_len = seed_len < len ? seed_len : 0x7FFFFFFF;
+    cal_width(idx.dir[0], idx.n, len, s0, w0.data());
+    cal_width(idx.dir[1], idx.n, len, s1, w1.data());
+    Width *ws[2] = {w0.data(), w1.data()};
+    bool use_seed = len > seed_len;
+    Width *sws[2] = {sw0.data(), sw1.data()};
+    if (use_seed) {
+      cal_width(idx.dir[0], idx.n, seed_len, s0 + (len - seed_len),
+                sw0.data());
+      cal_width(idx.dir[1], idx.n, seed_len, s1 + (len - seed_len),
+                sw1.data());
+    }
+    int nal = match_gap(idx, len, ss, ws, sws, use_seed, opt, stack,
+                        out_alns + (size_t)b * out_cap * 7, out_cap);
+    // -1 signals hit-list overflow: caller must redo this read with the
+    // unbounded engine (truncation would also skew the gapped-hit dedup)
+    out_n[b] = nal > out_cap ? -1 : nal;
+  }
+}
+
+void aln_batch(void *h, const uint8_t *seqs, const int32_t *lens,
+               const int32_t *max_diffs, int B, int L, int s_mm, int s_gapo,
+               int s_gape, int max_gapo, int max_gape, int indel_end_skip,
+               int max_del_occ, int max_entries, int max_top2, int seed_len,
+               int max_seed_diff, int32_t *out_n, int32_t *out_alns,
+               int out_cap) {
+  Index *idx = (Index *)h;
+  Opt opt{s_mm, s_gapo, s_gape, 0, max_gapo, max_gape, indel_end_skip,
+          max_del_occ, max_entries, max_top2, seed_len, max_seed_diff, 1};
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if ((int)nt > B) nt = B;
+  if (nt <= 1) {
+    aln_batch_range(idx, seqs, lens, max_diffs, 0, B, L, opt, seed_len,
+                    out_n, out_alns, out_cap);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int grain = (B + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; ++t) {
+    int b0 = t * grain;
+    int b1 = b0 + grain < B ? b0 + grain : B;
+    if (b0 >= b1) break;
+    threads.emplace_back(aln_batch_range, idx, seqs, lens, max_diffs, b0, b1,
+                         L, opt, seed_len, out_n, out_alns, out_cap);
+  }
+  for (auto &th : threads) th.join();
+}
+
+}  // extern "C"

@@ -317,7 +317,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
 
     out = jax.lax.while_loop(cond, body, init)
     fallback = out["overflow"] | ~out["done"]
-    return out["n_aln"], out["alns"], fallback
+    return out["n_aln"], out["alns"], fallback, out["it"]
 
 
 class BatchEngine:
@@ -326,7 +326,12 @@ class BatchEngine:
     def __init__(self, idx: ReducedIndex, max_batch: int = 2048):
         self.idx = idx
         self.dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
-        self.host = HostEngine(idx)
+        try:
+            from ..align.engine import NativeEngine
+
+            self.host = NativeEngine(idx)
+        except Exception:
+            self.host = HostEngine(idx)
         self.max_batch = max_batch
 
     def align_batch(self, reads, opt: GapOpt) -> None:
@@ -381,7 +386,7 @@ class BatchEngine:
                             axis=1)
 
         max_iters = 24 * Lmax
-        n_aln, alns, fallback = _search_kernel(
+        n_aln, alns, fallback, n_iters = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
             self.dev.primary, seqs_j, lens_j, jnp.asarray(md), w0, seed_w0,
             jnp.asarray(use_seed),
@@ -394,6 +399,8 @@ class BatchEngine:
         n_aln = np.asarray(n_aln)
         alns = np.asarray(alns)
         fallback = np.asarray(fallback)
+        self.last_iters = int(n_iters)
+        self.last_fallback = int(fallback.sum())
 
         fb_reads = []
         for b, p in enumerate(todo):
