@@ -152,8 +152,18 @@ def pairing(p: list[Read], alns: list[list[Aln]], arr: list[int],
                  + alns[u & 1][(u & 0xFFFFFFFF) >> 1].score)
             s *= 10
             if ii.high:
-                s += int(-4.343 * math.log(0.5 * math.erfc(
-                    (1 / math.sqrt(2)) * abs(l - ii.avg) / ii.std)) + 0.499)
+                # C float semantics: std can be 0 (degenerate isize
+                # distribution) -> inf/nan ratio; the (int) cast of the
+                # resulting inf/nan is INT_MIN on x86
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = np.float64(abs(l - ii.avg)) / np.float64(ii.std)
+                    v_pen = (-4.343 * np.log(0.5 * math.erfc(
+                        float(ratio) / math.sqrt(2))) + 0.499
+                        if not np.isnan(ratio) else float("nan"))
+                if math.isnan(v_pen) or math.isinf(v_pen):
+                    s += -(2 ** 31)
+                else:
+                    s += int(v_pen)
             s = ((s << 32) | hash_64(((u >> 32) << 32) | (v >> 32))) & U64MAX
             if s >> 32 == o_score >> 32:
                 o_n += 1

@@ -53,7 +53,17 @@ class PileupData:
 
 def read_pileup_file(bed_table: dict[str, dict[int, tuple[str, str]]],
                      path: str) -> PileupData:
-    """ReadPileup (:767-845): textual pileup restricted to bed markers."""
+    """ReadPileup (:767-845): textual pileup restricted to bed markers.
+
+    Improvement over the reference: FASTQuick's own .Pileup encodes bases
+    as explicit letters (case = strand), but the likelihood model
+    (getConditionalBaseLK) recognizes only '.'/',' as reference matches --
+    the reference only sidesteps this because its shipped pipeline goes
+    BAM -> mpileup.  We normalize: a base equal to the marker's ref
+    allele becomes '.' (forward/uppercase) or ',' (reverse/lowercase),
+    which is a no-op for samtools-style pileups (their ref matches are
+    already './,' and letters are always mismatches).
+    """
     d = PileupData(is_pileup_input=True)
     gi = 0
     with open(path) as fh:
@@ -65,15 +75,18 @@ def read_pileup_file(bed_table: dict[str, dict[int, tuple[str, str]]],
             pos = int(pos_s)
             if chrom not in bed_table or pos not in bed_table[chrom]:
                 continue
+            ref = bed_table[chrom][pos][0].upper()
+            bases = [("." if b.isupper() else ",") if b.upper() == ref else b
+                     for b in seq]
             ci = d.pos_index.setdefault(chrom, {})
             if pos in ci:
                 idx = ci[pos]
-                d.base_info[idx].extend(seq)
+                d.base_info[idx].extend(bases)
                 d.qual_info[idx].extend(ord(c) for c in qual)
             else:
                 ci[pos] = gi
                 gi += 1
-                d.base_info.append(list(seq))
+                d.base_info.append(bases)
                 d.qual_info.append([ord(c) for c in qual])
             d.num_bases += int(depth_s)
             d.effective_num_site += 1
