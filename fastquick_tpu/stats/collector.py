@@ -154,11 +154,7 @@ def _leading_int(s: str) -> int:
 
 class StatCollector:
     def __init__(self):
-        self.position_table: dict[str, dict[int, int]] = {}
-        self.index = 0
-        self.depth_vec: list[int] = []
-        self.q20_depth_vec: list[int] = []
-        self.q30_depth_vec: list[int] = []
+        self._sites = None  # DenseSites, built lazily (after target join)
         # per marker pileups
         self.seq_vec: list[str] = []
         self.qual_vec: list[list[int]] = []
@@ -168,15 +164,16 @@ class StatCollector:
         self.vcf_rec_vec: list[VcfRecord] = []
         self.vcf_table: dict[str, dict[int, int]] = {}
         self.dbsnp_table: dict[str, set[int]] = {}
-        self.depth_dist = [0] * 1024
-        self.cycle_dist = [0] * 512
-        self.gc_dist = [0] * 256
-        self.pos_num = [0] * 101
-        self.emp_rep_dist = [0] * 256
-        self.mis_emp_rep_dist = [0] * 256
-        self.emp_cycle_dist = [0] * 256
-        self.mis_emp_cycle_dist = [0] * 256
+        self.depth_dist = np.zeros(1024, dtype=np.int64)
+        self.cycle_dist = np.zeros(512, dtype=np.int64)
+        self.gc_dist = np.zeros(256, dtype=np.int64)
+        self.pos_num = np.zeros(101, dtype=np.int64)
+        self.emp_rep_dist = np.zeros(256, dtype=np.int64)
+        self.mis_emp_rep_dist = np.zeros(256, dtype=np.int64)
+        self.emp_cycle_dist = np.zeros(256, dtype=np.int64)
+        self.mis_emp_cycle_dist = np.zeros(256, dtype=np.int64)
         self.insert_size_dist = [0] * INSERT_SIZE_LIMIT
+        self._marker_pos: dict[str, np.ndarray] = {}
         self.gc: dict[str, dict[int, int]] = {}
         self.duplicate_table: set[str] = set()
         self.contig_status: dict[str, list[int]] = {}
@@ -249,78 +246,80 @@ class StatCollector:
     def set_target_region(self, path: str) -> None:
         self.target_region.read_region_list(path, collapse=True)
         self.flank_region = self.flank_region.join_inner(self.target_region)
+        self._sites = None  # rebuild over the joined regions
 
     def add_fsc(self, fsc: FileStat) -> None:
         self.fsc_vec.append(fsc)
 
-    # ---- accumulation ----
+    # ---- dense site table ----
 
-    def _stat_vec_dist_update(self, chrom: str, i: int, tmp_cycle: int,
-                              read_base: str, base_qual: int, ref_base: str):
-        self.emp_rep_dist[base_qual] += 1
-        self.emp_cycle_dist[tmp_cycle] += 1
-        if (read_base != "N" and ref_base != read_base and ref_base != "N"
-                and i not in self.dbsnp_table.get(chrom, ())):
-            self.mis_emp_rep_dist[base_qual] += 1
-            self.mis_emp_cycle_dist[tmp_cycle] += 1
+    @property
+    def sites(self):
+        if self._sites is None:
+            from .sites import DenseSites
+
+            if not self.flank_region.collapsed:
+                self.flank_region.collapse()
+            s = DenseSites(self.flank_region.regions)
+            for chrom, gcd in self.gc.items():
+                s.fill_from_position_map(chrom, gcd, "gc")
+            for chrom, posset in self.dbsnp_table.items():
+                s.fill_from_position_map(chrom, dict.fromkeys(posset, 1),
+                                         "dbsnp")
+            self._sites = s
+        return self._sites
+
+    # ---- accumulation (vectorized per M-segment) ----
 
     def _update_marker(self, tmp_cycle: int, site: int, cl: int, strand: int,
-                       chrom: str, seq: str, qual: list[int], mapq: int,
+                       chrom: str, seq: str, qual: np.ndarray, mapq: int,
                        rel_read: int) -> None:
         tbl = self.vcf_table.get(chrom)
         if tbl is None:
             return
+        mpos = self._marker_pos.get(chrom)
+        if mpos is None:
+            mpos = np.array(sorted(tbl), dtype=np.int64)
+            self._marker_pos[chrom] = mpos
+        lo = np.searchsorted(mpos, site)
+        hi = np.searchsorted(mpos, site + cl)
         sign = -1 if strand else 1
-        for i in range(site, site + cl):
-            if i in tbl:
-                idx = tbl[i]
-                self.seq_vec[idx] += seq[rel_read]
-                self.qual_vec[idx].append(qual[rel_read])
-                self.cycle_vec[idx].append(tmp_cycle)
-                self.maq_vec[idx].append(mapq + 33)
-                self.strand_vec[idx].append(bool(strand))
-            tmp_cycle += sign
-            rel_read += 1
+        for p in mpos[lo:hi]:
+            off = int(p) - site
+            idx = tbl[int(p)]
+            self.seq_vec[idx] += seq[rel_read + off]
+            self.qual_vec[idx].append(int(qual[rel_read + off]))
+            self.cycle_vec[idx].append(tmp_cycle + sign * off)
+            self.maq_vec[idx].append(mapq + 33)
+            self.strand_vec[idx].append(bool(strand))
 
-    def _update_regular(self, seq: str, qual: list[int], ref_seq: str,
-                        chrom: str, site: int, strand: int, match_len: int,
-                        tmp_cycle: int, rel_read: int, rel_ref: int) -> int:
+    def _update_regular(self, seq: np.ndarray, qual: np.ndarray,
+                        ref_seq: np.ndarray, chrom: str, site: int,
+                        strand: int, match_len: int, tmp_cycle: int,
+                        rel_read: int, rel_ref: int) -> int:
+        """Vectorized UpdateInfoVecAtRegularSite: one segment's in-region
+        bases become numpy scatter-adds on the dense site table."""
+        positions, idx = self.sites.index_range(chrom, site, site + match_len)
+        if len(idx) == 0:
+            return 0
+        off = positions - site  # segment-relative offsets (int64)
+        bq = qual[rel_read + off]
+        self.sites.depth[idx] += 1
+        q20m = bq >= 20
+        self.sites.q20[idx] += q20m
+        self.sites.q30[idx] += (bq >= 30) & q20m
         sign = -1 if strand else 1
-        total = 0
-        ptbl = self.position_table.setdefault(chrom, {})
-        for i in range(site, site + match_len):
-            if not self.flank_region.is_overlapped(chrom, i):
-                tmp_cycle += sign
-                rel_read += 1
-                rel_ref += 1
-                continue
-            ref_base = ref_seq[rel_ref]
-            read_base = seq[rel_read]
-            base_qual = qual[rel_read]
-            if i in ptbl:
-                idx = ptbl[i]
-                self.depth_vec[idx] += 1
-                if base_qual >= 20:
-                    self.q20_depth_vec[idx] += 1
-                    if base_qual >= 30:
-                        self.q30_depth_vec[idx] += 1
-                total += 1
-                self._stat_vec_dist_update(chrom, i, tmp_cycle, read_base,
-                                           base_qual, ref_base)
-            else:
-                total += 1
-                self.depth_vec.append(1)
-                self.q20_depth_vec.append(1 if base_qual >= 20 else 0)
-                self.q30_depth_vec.append(
-                    1 if base_qual >= 30 and base_qual >= 20 else 0)
-                self._stat_vec_dist_update(chrom, i, tmp_cycle, read_base,
-                                           base_qual, ref_base)
-                ptbl[i] = self.index
-                self.index += 1
-            tmp_cycle += sign
-            rel_read += 1
-            rel_ref += 1
-        return total
+        cycles = tmp_cycle + sign * off
+        np.add.at(self.emp_rep_dist, bq, 1)
+        np.add.at(self.emp_cycle_dist, cycles, 1)
+        rb = seq[rel_read + off]
+        fb = ref_seq[rel_ref + off]
+        N = ord("N")
+        mism = (rb != N) & (fb != rb) & (fb != N) & ~self.sites.dbsnp[idx]
+        if mism.any():
+            np.add.at(self.mis_emp_rep_dist, bq[mism], 1)
+            np.add.at(self.mis_emp_cycle_dist, cycles[mism], 1)
+        return len(idx)
 
     def add_single_alignment(self, idx: ReducedIndex, p, opt: GapOpt) -> bool:
         """AddSingleAlignment (:424-621)."""
@@ -330,14 +329,15 @@ class StatCollector:
         seqid, _ = idx.coor_pac2real(p.pos)
         contig = idx.contigs[seqid]
 
+        fwd_map = np.frombuffer(b"ACGTN", dtype=np.uint8)
+        rc_map = np.frombuffer(b"TGCAN", dtype=np.uint8)
         if p.strand == 0:
-            seq = "".join("ACGTN"[c] for c in p.seq[: p.full_len])
-            qual = [int(q) - 33 for q in p.qual[: p.full_len]]
+            seq_np = fwd_map[p.seq[: p.full_len]]
+            qual = p.qual[: p.full_len].astype(np.int64) - 33
         else:
-            seq = "".join("TGCAN"[p.seq[p.full_len - 1 - j2]]
-                          for j2 in range(p.full_len))
-            qual = [int(p.qual[p.full_len - 1 - j2]) - 33
-                    for j2 in range(p.full_len)]
+            seq_np = rc_map[p.seq[: p.full_len][::-1]]
+            qual = p.qual[: p.full_len][::-1].astype(np.int64) - 33
+        seq = seq_np.tobytes().decode("ascii")
 
         pos = p.pos - contig.offset + 1
         flank = opt.flank_long_len if contig.is_long else opt.flank_len
@@ -346,6 +346,7 @@ class StatCollector:
 
         md = p.md
         ref_seq = recover_refseq_by_md_and_cigar(seq, md, p.cigar)
+        ref_np = np.frombuffer(ref_seq.encode("ascii"), dtype=np.uint8)
 
         site = read_real_start
         tmp_cycle = p.full_len - 1 if p.strand else 0
@@ -357,7 +358,7 @@ class StatCollector:
                 if op == FROM_M:
                     self._update_marker(tmp_cycle, site, cl, p.strand, chrom,
                                         seq, qual, p.mapQ, rel_read)
-                    self._update_regular(seq, qual, ref_seq, chrom, site,
+                    self._update_regular(seq_np, qual, ref_np, chrom, site,
                                          p.strand, cl, tmp_cycle, rel_read,
                                          rel_ref)
                     site += cl
@@ -376,7 +377,7 @@ class StatCollector:
         else:
             self._update_marker(tmp_cycle, site, p.len, p.strand, chrom, seq,
                                 qual, p.mapQ, rel_read)
-            self._update_regular(seq, qual, ref_seq, chrom, site, p.strand,
+            self._update_regular(seq_np, qual, ref_np, chrom, site, p.strand,
                                  p.len, tmp_cycle, rel_read, rel_ref)
         return True
 
@@ -634,19 +635,14 @@ class StatCollector:
         self.get_vcf(prefix)
 
     def get_depth_dist(self, prefix: str, opt: GapOpt) -> None:
-        for chrom, tbl in self.position_table.items():
-            gcd = self.gc.get(chrom, {})
-            for site, idx in tbl.items():
-                depth = self.depth_vec[idx]
-                self.num_base_mapped += depth
-                if depth > 1023:
-                    self.depth_dist[1023] += 1
-                else:
-                    self.depth_dist[depth] += 1
-                g = gcd.get(site, 0)
-                self.gc_dist[g] += depth
-                if g <= 100:
-                    self.pos_num[g] += 1
+        s = self.sites
+        covered = s.depth > 0
+        depth_c = s.depth[covered]
+        self.num_base_mapped += int(depth_c.sum())
+        np.add.at(self.depth_dist, np.clip(depth_c, 0, 1023), 1)
+        gc_c = s.gc[covered].astype(np.int64)
+        np.add.at(self.gc_dist, gc_c, depth_c)
+        np.add.at(self.pos_num, np.clip(gc_c, 0, 100), 1)
         for i in range(1, len(self.depth_dist)):
             self.num_pos_cov += self.depth_dist[i]
             if i >= 2:
@@ -882,8 +878,8 @@ class StatCollector:
                        f"{fmt(self.num_pos_cov5 / trs)}\n")
             fout.write(f"Depth 10 or above position fraction : "
                        f"{fmt(self.num_pos_cov10 / trs)}\n")
-            q20 = sum(self.q20_depth_vec)
-            q30 = sum(self.q30_depth_vec)
+            q20 = int(self.sites.q20.sum())
+            q30 = int(self.sites.q30.sum())
             fout.write(f"Q20 Base Fraction : "
                        f"{fmt(0 if self.num_base_mapped == 0 else q20 / self.num_base_mapped)}\n")
             fout.write(f"Q30 Base Fraction : "

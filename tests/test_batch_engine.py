@@ -76,8 +76,10 @@ def test_device_matches_host(seed):
     reads_h = synth_reads(idx, 60, seed + 10)
     reads_d = synth_reads(idx, 60, seed + 10)
     HostEngine(idx).align_batch(reads_h, opt)
-    BatchEngine(idx, max_batch=64).align_batch(reads_d, opt)
-    n_mismatch = 0
+    eng = BatchEngine(idx, max_batch=64)
+    eng.align_batch(reads_d, opt)
+    # the device kernel must do the work itself, not the exact fallback
+    assert eng.last_fallback <= 3, f"fallback rate {eng.last_fallback}/60"
     for i, (h, d) in enumerate(zip(reads_h, reads_d)):
         hk = [aln_key(a) for a in h.aln]
         dk = [aln_key(a) for a in d.aln]

@@ -1,0 +1,87 @@
+"""Downsampling determinism, report generation, pipeline guards."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def small_fastq(tmp_path):
+    rng = np.random.default_rng(0)
+    p = tmp_path / "r.fastq.gz"
+    with gzip.open(p, "wt") as fh:
+        for i in range(200):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 80))
+            fh.write(f"@r{i}\n{seq}\n+\n{'I' * 80}\n")
+    return str(p)
+
+
+def test_downsampling_deterministic(small_fastq):
+    from fastquick_tpu.align.seqs import FastqReader, read_batch
+
+    def load(seed):
+        r = FastqReader(small_fastq)
+        out = read_batch(r, None, 1000, 0x03, 0, 0.5, seed)
+        r.close()
+        return [p.name for p in out]
+
+    a = load(7)
+    b = load(7)
+    c = load(8)
+    assert a == b  # same seed -> same subsample
+    assert 40 < len(a) < 160  # roughly half
+    assert a != c  # different round seed -> different subsample
+
+
+def test_report_generation(tmp_path):
+    # minimal stat files
+    prefix = str(tmp_path / "r")
+    with open(prefix + ".DepthDist", "w") as fh:
+        for i in range(50):
+            fh.write(f"{i}\t{100 - i}\n")
+    with open(prefix + ".EmpRepDist", "w") as fh:
+        for i in range(40):
+            fh.write(f"{i}\t1\t100\t{i * 0.9}\n")
+    with open(prefix + ".EmpCycleDist", "w") as fh:
+        for i in range(100):
+            fh.write(f"{i + 1}\t1\t50\t30.0\t0\n")
+    with open(prefix + ".GCDist", "w") as fh:
+        for i in range(101):
+            fh.write(f"{i}\t{i * 10}\t{max(1, i)}\t1.0\n")
+    with open(prefix + ".RawInsertSizeDist", "w") as fh:
+        for i in range(600):
+            fh.write(f"{i}\t{max(0, 300 - abs(i - 350))}\n")
+    with open(prefix + ".AdjustedInsertSizeDist", "w") as fh:
+        for i in range(600):
+            fh.write(f"{i}\t{max(0.0, 1 - abs(i - 350) / 300):.4f}\n")
+    with open(prefix + ".Summary", "w") as fh:
+        fh.write("Statistics : Value\nEstimated Read Depth : 5.0[5/1]\n")
+
+    from fastquick_tpu.report.report import generate_report
+
+    out = generate_report(prefix)
+    assert os.path.exists(out)
+    html = open(out).read()
+    assert "Depth Distribution" in html
+    assert "Insert Size" in html
+    assert "data:image/png;base64" in html
+
+
+def test_pipeline_overwrite_guard(tmp_path):
+    from fastquick_tpu.cli import main
+    from fastquick_tpu.utils.logging import FastQuickError
+
+    (tmp_path / "out.Summary").write_text("done\n")
+    rc = main(["all", "--steps", "Align", "--output", str(tmp_path / "out"),
+               "--index", str(tmp_path / "idx"),
+               "--fastq_1", "nonexistent.fq"])
+    assert rc != 0  # refused to overwrite
+
+
+def test_unknown_step_rejected(tmp_path):
+    from fastquick_tpu.cli import main
+
+    rc = main(["all", "--steps", "Bogus", "--output", str(tmp_path / "x")])
+    assert rc != 0

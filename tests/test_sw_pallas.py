@@ -1,0 +1,82 @@
+"""Pallas SW forward kernel vs its numpy spec and the C-semantics oracle."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from fastquick_tpu.ops.sw_pallas import (
+    sw_forward_batch,
+    sw_forward_reference,
+)
+
+RL, QL = 256, 128
+
+
+def _cases(seed, n):
+    rng = np.random.default_rng(seed)
+    refs = np.zeros((n, RL), dtype=np.int32)
+    queries = np.zeros((n, QL), dtype=np.int32)
+    rlens = np.zeros(n, dtype=np.int32)
+    qlens = np.zeros(n, dtype=np.int32)
+    for b in range(n):
+        rl = int(rng.integers(160, RL))
+        ql = int(rng.integers(40, min(QL, rl - 20)))
+        ref = rng.integers(0, 4, rl).astype(np.int32)
+        kind = b % 4
+        if kind == 0:  # embedded read with mismatches
+            start = int(rng.integers(0, rl - ql))
+            q = ref[start:start + ql].copy()
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, ql))
+                q[p] = (q[p] + 1) % 4
+        elif kind == 1:  # embedded with a deletion
+            start = int(rng.integers(0, rl - ql - 3))
+            mid = ql // 2
+            q = np.concatenate([ref[start:start + mid],
+                                ref[start + mid + 2:start + ql + 2]])
+        elif kind == 2:  # random (no good match)
+            q = rng.integers(0, 4, ql).astype(np.int32)
+        else:  # with N bases
+            start = int(rng.integers(0, rl - ql))
+            q = ref[start:start + ql].copy()
+            q[5] = 4
+        refs[b, :rl] = ref
+        queries[b, :ql] = q
+        rlens[b] = rl
+        qlens[b] = ql
+    return refs, queries, rlens, qlens
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kernel_matches_spec(seed):
+    n = 24
+    refs, queries, rlens, qlens = _cases(seed, n)
+    out = np.asarray(sw_forward_batch(
+        jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(rlens),
+        jnp.asarray(qlens), RL=RL, QL=QL))
+    for b in range(n):
+        want = sw_forward_reference(refs[b, :rlens[b]], queries[b, :qlens[b]])
+        got = (int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
+        assert got == want, f"case {b}: {got} vs {want}"
+
+
+def test_kernel_scores_match_c_oracle_mostly():
+    """Scores agree with the C-semantics forward pass (align/dp.py)
+    except in the F-freeze corner, which must be rare."""
+    from fastquick_tpu.align.dp import aln_local_core
+
+    n = 24
+    refs, queries, rlens, qlens = _cases(7, n)
+    out = np.asarray(sw_forward_batch(
+        jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(rlens),
+        jnp.asarray(qlens), RL=RL, QL=QL))
+    agree = 0
+    for b in range(n):
+        score, _, _ = aln_local_core(refs[b, :rlens[b]].astype(np.uint8),
+                                     queries[b, :qlens[b]].astype(np.uint8),
+                                     thres=1)
+        if max(score, 0) == int(out[b, 0]):
+            agree += 1
+    assert agree >= n - 1, f"only {agree}/{n} scores agree with C oracle"
