@@ -382,6 +382,9 @@ def run_align(argv: list[str]) -> int:
         error("--out_prefix is required")
     if pl["index_prefix"] == "Empty":
         error("--index_prefix is required")
+    if pl["bam_in"] != "Empty":
+        # parity with the reference (src/BwtMapper.cpp:186):
+        error("Input alignments from Bam file is disabled.")
 
     opt = GapOpt()
     popt = PeOpt()

@@ -147,8 +147,7 @@ def read_fasta(path: str) -> list[tuple[str, str]]:
             if line.startswith(">"):
                 if name is not None:
                     out.append((name, "".join(chunks)))
-                name = line[1:].split()[0] if " " not in line[1:] else line[1:].split()[0]
-                # keep full header after '>' up to first whitespace
+                # header after '>' up to first whitespace
                 name = line[1:].split()[0]
                 chunks = []
             elif line:

@@ -30,7 +30,7 @@ always exact; the pools only bound the fast path.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +49,6 @@ A_MAX = 48  # max recorded hits per read
 SEQ_MAX = 1 << 20
 PRIO_INF = np.int32(2**31 - 1)
 F_K, F_L, F_INFO, F_MM, F_GO, F_GE, F_ST, F_LDP = range(8)
-
-
-@dataclass
-class SearchResult:
-    n_aln: np.ndarray
-    alns: np.ndarray
-    fallback: np.ndarray
 
 
 @functools.partial(
