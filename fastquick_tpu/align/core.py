@@ -23,7 +23,7 @@ shifts gap_shadow bookkeeping for multi-hit reads.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -7,7 +7,7 @@ pe_opt_t (libbwa/bwape.c:7-20 bwa_init_pe_opt), same defaults.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 BWA_AVG_ERR = 0.02
 BWA_MIN_RDLEN = 35

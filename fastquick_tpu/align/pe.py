@@ -12,12 +12,12 @@ behavior for reverse-strand positions.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..index.fmindex import FMIndex
-from .core import Aln, bwa_aln2seq_core, bwa_approx_mapQ
+from .core import Aln
 from .dp import FROM_D, FROM_I, FROM_M, FROM_S, aln_local_core, aln_path2cigar
 from .opts import (
     BWA_TYPE_MATESW,
@@ -26,11 +26,8 @@ from .opts import (
     SAM_FPP,
     SW_MIN_MAPQ,
     SW_MIN_MATCH_LEN,
-    GapOpt,
     PeOpt,
-    bwa_cal_maxdiff,
 )
-from .rand import Rand48
 from .seqs import Read, seq_reverse
 
 MIN_HASH_WIDTH = 1000

@@ -13,7 +13,6 @@ from ..index.builder import ReducedIndex
 from ..io.bam import BamWriter, tag_A, tag_i, tag_Z
 from .opts import (
     BWA_MODE_COMPREAD,
-    BWA_MODE_IL13,
     BWA_TYPE_MATESW,
     BWA_TYPE_NO_MATCH,
     SAM_FMR,

@@ -38,7 +38,7 @@ import numpy as np
 
 from ..align.core import Aln
 from ..align.engine import HostEngine
-from ..align.opts import BWA_MODE_GAPE, GapOpt, bwa_cal_maxdiff
+from ..align.opts import GapOpt, bwa_cal_maxdiff
 from ..index.builder import ReducedIndex
 from .fm import DeviceFM, cal_width, occ4
 

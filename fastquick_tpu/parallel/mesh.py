@@ -16,12 +16,10 @@ accumulators.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.fm import DeviceFM, match_exact, sa_lookup
 from ..ops.kmer import filter_reads

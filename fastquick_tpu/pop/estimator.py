@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..utils.logging import error, notice, warning
+from ..utils.logging import notice, warning
 from .pileup import PileupData
 
 N_QBINS = 94  # qual-33 in [0, 93]

@@ -14,7 +14,6 @@ are not applied; both only perturb base qualities of marginal reads.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 from ..io.bam import BamReader

@@ -37,7 +37,7 @@ from ..align.opts import (
     GapOpt,
 )
 from ..align.refine import FROM_D, FROM_I, FROM_M, FROM_S, pos_end
-from ..index.builder import ContigInfo, ReducedIndex
+from ..index.builder import ReducedIndex
 from ..io.gc import read_gc_records
 from ..io.region import RegionList
 from ..io.vcf import VcfReader, VcfRecord, normalize_chrom
