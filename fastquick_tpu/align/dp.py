@@ -182,6 +182,62 @@ def aln_global_core(seq1: np.ndarray, seq2: np.ndarray,
     return int(mx), path[:-1]
 
 
+def global_cigar(seq1: np.ndarray, seq2: np.ndarray) -> list[tuple[int, int]]:
+    """Banded global alignment -> cigar; native fast path when available."""
+    from ..native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is None or len(seq1) == 0 or len(seq2) == 0:
+        _, path = aln_global_core(seq1, seq2)
+        return aln_path2cigar(path)
+    import ctypes
+
+    r = np.ascontiguousarray(seq1, dtype=np.uint8)
+    q = np.ascontiguousarray(seq2, dtype=np.uint8)
+    cap = len(seq1) + len(seq2) + 2
+    cig = np.zeros(cap, dtype=np.uint32)
+    n = ctypes.c_int(0)
+    cp = ctypes.c_void_p
+    lib.sw_global(r.ctypes.data_as(cp), len(r), q.ctypes.data_as(cp), len(q),
+                  cig.ctypes.data_as(cp), cap, ctypes.byref(n))
+    return [(int(c >> 28), int(c & 0x0FFFFFFF)) for c in cig[: n.value]]
+
+
+def local_align(seq1: np.ndarray, seq2: np.ndarray, thres: int = 1):
+    """Local alignment for mate rescue: returns
+    (score, cigar, (start_i, start_j, end_i, end_j, begin_pi, begin_pj))
+    with 1-based coords; empty cigar when score < thres / no match.
+    Native fast path when available; python fallback derives the same
+    tuple from aln_local_core's shifted path."""
+    from ..native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is not None and len(seq1) and len(seq2):
+        import ctypes
+
+        r = np.ascontiguousarray(seq1, dtype=np.uint8)
+        q = np.ascontiguousarray(seq2, dtype=np.uint8)
+        cap = len(seq1) + len(seq2) + 2
+        cig = np.zeros(cap, dtype=np.uint32)
+        coords = np.zeros(6, dtype=np.int32)
+        n = ctypes.c_int(0)
+        cp = ctypes.c_void_p
+        score = lib.sw_local(r.ctypes.data_as(cp), len(r),
+                             q.ctypes.data_as(cp), len(q), thres,
+                             coords.ctypes.data_as(cp),
+                             cig.ctypes.data_as(cp), cap, ctypes.byref(n))
+        cigar = [(int(c >> 28), int(c & 0x0FFFFFFF)) for c in cig[: n.value]]
+        return int(score), cigar, tuple(int(x) for x in coords)
+    score, path, (si, sj, ei, ej) = aln_local_core(seq1, seq2, thres)
+    if not path:
+        return score, [], (si, sj, ei, ej, 0, 0)
+    cigar = aln_path2cigar(path)
+    # path entries are shifted by (start-1); recover region-local begin
+    bi = path[-1][1] - (si - 1)
+    bj = path[-1][2] - (sj - 1)
+    return score, cigar, (si, sj, ei, ej, bi, bj)
+
+
 def aln_path2cigar(path: list[tuple[int, int, int]]) -> list[tuple[int, int]]:
     """stdaln aln_path2cigar32: path (end->begin) to [(op, len)] begin->end."""
     if not path:

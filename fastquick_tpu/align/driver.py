@@ -374,7 +374,11 @@ def run_align(argv: list[str]) -> int:
     pl.add("cal_dup", True, "enable duplicate calculation")
     pl.add("frac_samp", 1.0, "downsampling fraction")
     pl.group("Engine")
-    pl.add("engine", "auto", "alignment engine: host | tpu | auto")
+    pl.add("engine", "auto", "alignment engine: host | native | tpu | auto")
+    pl.group("Multi-host sharding")
+    pl.add("shard_out", False, "write <out_prefix>.shard.npz accumulator "
+           "state instead of final statistics (merge shards with "
+           "`fastquick merge`)")
     pl.read(argv)
     pl.status()
 
@@ -500,7 +504,55 @@ def run_align(argv: list[str]) -> int:
     isize_out.close()
     sam.close()
     t_tmp = realtime()
-    collector.process_core(prefix, opt)
-    notice("Calculate distributions... %f sec", realtime() - t_tmp)
+    if pl["shard_out"]:
+        from ..stats.shard import save_shard
+
+        save_shard(collector, prefix + ".shard.npz")
+        notice("Shard state written to %s.shard.npz (merge with "
+               "`fastquick merge`)", prefix)
+    else:
+        collector.process_core(prefix, opt)
+        notice("Calculate distributions... %f sec", realtime() - t_tmp)
     notice("Real time: %.3f sec", realtime() - t_real)
+    return 0
+
+
+def run_merge(argv: list[str]) -> int:
+    """fastquick merge: combine shard accumulator states + insert-size
+    tables from N independent align runs into the final statistics."""
+    pl = ParamList()
+    pl.add("index_prefix", "Empty", "index prefix (as used by the shards)")
+    pl.add("out_prefix", "Empty", "output prefix for the merged statistics")
+    shard_prefixes = pl.read(argv)
+    pl.status()
+    if pl["index_prefix"] == "Empty" or pl["out_prefix"] == "Empty":
+        error("--index_prefix and --out_prefix are required")
+    if not shard_prefixes:
+        error("pass the shard output prefixes as positional arguments")
+
+    from ..stats.shard import merge_shards
+
+    new_ref = pl["index_prefix"] + ".FASTQuick.fa"
+    params = read_param(new_ref)
+    opt = GapOpt()
+    opt.num_variant_long = params["NUM_VAR_LONG"]
+    opt.num_variant_short = params["NUM_VAR_SHORT"]
+    opt.flank_len = params["SHORT_FLANK_LENGTH"]
+    opt.flank_long_len = params["LONG_FLANK_LENGTH"]
+    target_region = params["TARGET_REGION_PATH"]
+    _, genome_size, n_size = load_contig_sizes(params["REFERENCE_PATH"])
+
+    collector = StatCollector()
+    collector.restore_vcf_sites(new_ref, opt)
+    collector.set_genome_size(genome_size, n_size)
+    if target_region != "Empty":
+        collector.set_target_region(target_region)
+
+    merge_shards(collector, [p + ".shard.npz" for p in shard_prefixes])
+    with open(pl["out_prefix"] + ".InsertSizeTable", "w") as out:
+        for p in shard_prefixes:
+            with open(p + ".InsertSizeTable") as fh:
+                out.write(fh.read())
+    collector.process_core(pl["out_prefix"], opt)
+    notice("Merged %d shards into %s", len(shard_prefixes), pl["out_prefix"])
     return 0

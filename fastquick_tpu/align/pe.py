@@ -18,7 +18,7 @@ import numpy as np
 
 from ..index.fmindex import FMIndex
 from .core import Aln
-from .dp import FROM_D, FROM_I, FROM_M, FROM_S, aln_local_core, aln_path2cigar
+from .dp import FROM_D, FROM_I, FROM_M, FROM_S, local_align
 from .opts import (
     BWA_TYPE_MATESW,
     BWA_TYPE_NO_MATCH,
@@ -255,10 +255,10 @@ def bwa_sw_core(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
 
     hi = min(beg + reglen, l_pac)
     ref_seq = text[beg:hi]
-    score, path, _ = aln_local_core(ref_seq, seq[:length], thres=1)
-    if score < 0 or not path:
+    score, cigar, coords = local_align(ref_seq, seq[:length], thres=1)
+    if score < 0 or not cigar:
         return None, beg, 0
-    cigar = aln_path2cigar(path)
+    si, sj, ei, ej, bi, bj = coords
 
     x = y = 0
     for op, ln in cigar:
@@ -272,11 +272,13 @@ def bwa_sw_core(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
     if x < SW_MIN_MATCH_LEN or y < SW_MIN_MATCH_LEN:
         return None, beg, 0
 
-    # update cigar and coordinate (path runs end->begin; last entry=begin)
-    p_last = path[-1]
-    new_beg = beg + (p_last[1] if p_last[1] else 1) - 1
-    start = (p_last[2] if p_last[2] else 1) - 1
-    end = path[0][2]
+    # update cigar and coordinate; the path's begin entry shifted to the
+    # full matrix is (bi + si - 1, bj + sj - 1)
+    pl_i = bi + si - 1
+    pl_j = bj + sj - 1
+    new_beg = beg + (pl_i if pl_i else 1) - 1
+    start = (pl_j if pl_j else 1) - 1
+    end = ej
     if start:
         cigar = [(FROM_S, start)] + cigar
     if end < length:
@@ -284,8 +286,8 @@ def bwa_sw_core(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
 
     # count mismatches/gaps (uses region-local coordinates)
     n_mm = n_gapo = n_gape = 0
-    x = p_last[1] - 1 if p_last[1] else 0
-    y = p_last[2] - 1 if p_last[2] else 0
+    x = pl_i - 1 if pl_i else 0
+    y = pl_j - 1 if pl_j else 0
     for op, ln in cigar:
         if op == FROM_M:
             for l in range(ln):

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .dp import FROM_D, FROM_I, FROM_M, FROM_S, aln_global_core, aln_path2cigar
+from .dp import FROM_D, FROM_I, FROM_M, FROM_S, global_cigar
 
 Cigar = list[tuple[int, int]]  # [(op, len)] with FROM_* ops
 
@@ -27,8 +27,7 @@ def refine_gapped_core(text: np.ndarray, length: int, seq: np.ndarray,
         lo = max(x - ref_len, 0)
         hi = min(x, l_pac)
     ref_seq = text[lo:hi]
-    _, path = aln_global_core(ref_seq, seq[:length])
-    cigar = aln_path2cigar(path)
+    cigar = global_cigar(ref_seq, seq[:length])
     new_pos = lo
 
     if ext < 0:  # fix coordinate for forward-strand reads

@@ -118,6 +118,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipeline import run_pipeline
 
             return run_pipeline(rest)
+        if cmd == "merge":
+            from .align.driver import run_merge
+
+            return run_merge(rest)
     except FastQuickError:
         return 1
     print(USAGE, file=sys.stderr)

@@ -230,7 +230,12 @@ def _dump_bns(new_ref: str, idx: ReducedIndex) -> None:
 def write_param(new_ref: str, ref_path: str, target_region_path: str,
                 dbsnp_path: str, num_long: int, num_short: int,
                 flank_short: int, flank_long: int) -> None:
-    """The .param metadata file (reference src/FASTQuick.cpp:140-152)."""
+    """The .param metadata file (reference src/FASTQuick.cpp:140-152).
+    Paths are absolutized so align/merge work from any cwd."""
+    ref_path = os.path.abspath(ref_path)
+    dbsnp_path = os.path.abspath(dbsnp_path)
+    if target_region_path != "Empty":
+        target_region_path = os.path.abspath(target_region_path)
     with open(new_ref + ".param", "w") as fh:
         fh.write(f"REFERENCE_PATH\t{ref_path}\n")
         fh.write(f"TARGET_REGION_PATH\t{target_region_path}\n")

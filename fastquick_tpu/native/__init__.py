@@ -18,11 +18,47 @@ _SO = os.path.join(_HERE, "_fastq_loader.so")
 _SRC = os.path.join(_HERE, "fastq_loader.cpp")
 _ALN_SO = os.path.join(_HERE, "_aligner.so")
 _ALN_SRC = os.path.join(_HERE, "aligner.cpp")
+_SW_SO = os.path.join(_HERE, "_sw.so")
+_SW_SRC = os.path.join(_HERE, "sw.cpp")
 
 _lib = None
 _tried = False
 _aln_lib = None
 _aln_tried = False
+_sw_lib = None
+_sw_tried = False
+
+
+def get_sw_lib():
+    """Build (once) and load the native DP aligners; None if unavailable."""
+    global _sw_lib, _sw_tried
+    if _sw_lib is not None or _sw_tried:
+        return _sw_lib
+    _sw_tried = True
+    try:
+        if (not os.path.exists(_SW_SO)
+                or os.path.getmtime(_SW_SO) < os.path.getmtime(_SW_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _SW_SO, _SW_SRC],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SW_SO)
+        lib.sw_global.restype = ctypes.c_longlong
+        lib.sw_global.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_void_p]
+        lib.sw_local.restype = ctypes.c_longlong
+        lib.sw_local.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_void_p]
+        _sw_lib = lib
+    except Exception as e:  # pragma: no cover
+        print(f"[fastquick_tpu.native] native sw unavailable: {e}",
+              file=sys.stderr)
+        _sw_lib = None
+    return _sw_lib
 
 
 def get_aligner_lib():

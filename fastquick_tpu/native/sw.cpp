@@ -1,0 +1,298 @@
+// Native banded global + local DP aligners.
+//
+// C++ port of this project's align/dp.py (itself the behavioral
+// equivalent of stdaln's aln_global_core / aln_local_core with
+// aln_param_bwa scoring and set_M/set_I/set_D tie-breaking).  Used for
+// gapped refinement and mate-rescue SW where the Python DP is too slow;
+// results are differential-tested equal to dp.py.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int GAP_OPEN = 26, GAP_EXT = 9, GAP_END = 5, BAND = 50;
+constexpr int64_t NEG = -1073741823;  // MINOR_INF
+constexpr int FROM_M = 0, FROM_I = 1, FROM_D = 2, FROM_S = 3;
+
+inline int score_of(uint8_t a, uint8_t b) {
+  if (a > 3 || b > 3) return -13;
+  return a == b ? 11 : -19;
+}
+
+struct GlobalResult {
+  int64_t score;
+  // path stored end->begin as (ctype, i, j) triples
+  std::vector<int> ctypes, pis, pjs;
+};
+
+// mirror of dp.aln_global_core (banded, gap_end at edges)
+GlobalResult global_core(const uint8_t *seq1, int len1, const uint8_t *seq2,
+                         int len2, int band) {
+  GlobalResult res{0, {}, {}, {}};
+  if (len1 == 0 || len2 == 0) return res;
+  int b1, b2;
+  if (len1 > len2) {
+    b1 = len1 - len2 + band;
+    b2 = band;
+  } else {
+    b1 = band;
+    b2 = len2 - len1 + band;
+  }
+  if (b1 > len1) b1 = len1;
+  if (b2 > len2) b2 = len2;
+
+  size_t W = (size_t)(len1 + 1);
+  std::vector<int64_t> M((len2 + 1) * W, NEG), I((len2 + 1) * W, NEG),
+      D((len2 + 1) * W, NEG);
+  std::vector<int8_t> Mt((len2 + 1) * W, 0), It((len2 + 1) * W, 0),
+      Dt((len2 + 1) * W, 0);
+#define AT(arr, j, i) arr[(size_t)(j)*W + (i)]
+
+  AT(M, 0, 0) = 0;
+  for (int i = 1; i < b1; ++i) {
+    int64_t pm = AT(M, 0, i - 1), pd = AT(D, 0, i - 1);
+    if (pm - GAP_OPEN > pd) {
+      AT(Dt, 0, i) = FROM_M;
+      AT(D, 0, i) = pm - GAP_OPEN - GAP_END;
+    } else {
+      AT(Dt, 0, i) = FROM_D;
+      AT(D, 0, i) = pd - GAP_END;
+    }
+  }
+  for (int j = 1; j <= len2; ++j) {
+    int lo = j - b2 > 0 ? j - b2 : 0;
+    int hi = j + b1 - 1 < len1 ? j + b1 - 1 : len1;
+    if (lo == 0) {
+      int64_t pm = AT(M, j - 1, 0), pi = AT(I, j - 1, 0);
+      if (pm - GAP_OPEN > pi) {
+        AT(It, j, 0) = FROM_M;
+        AT(I, j, 0) = pm - GAP_OPEN - GAP_END;
+      } else {
+        AT(It, j, 0) = FROM_I;
+        AT(I, j, 0) = pi - GAP_END;
+      }
+    }
+    int start = lo > 0 ? lo : 1;
+    for (int i = start; i <= hi; ++i) {
+      int64_t pm = AT(M, j - 1, i - 1), pi = AT(I, j - 1, i - 1),
+              pd = AT(D, j - 1, i - 1);
+      int sc = score_of(seq1[i - 1], seq2[j - 1]);
+      if (pm >= pi) {
+        if (pm >= pd) {
+          AT(M, j, i) = pm + sc;
+          AT(Mt, j, i) = FROM_M;
+        } else {
+          AT(M, j, i) = pd + sc;
+          AT(Mt, j, i) = FROM_D;
+        }
+      } else {
+        if (pi > pd) {
+          AT(M, j, i) = pi + sc;
+          AT(Mt, j, i) = FROM_I;
+        } else {
+          AT(M, j, i) = pd + sc;
+          AT(Mt, j, i) = FROM_D;
+        }
+      }
+      // vertical I
+      bool at_right_edge = (i == hi && i != len1);
+      bool use_end = (i == len1);
+      pm = AT(M, j - 1, i);
+      pi = AT(I, j - 1, i);
+      if (at_right_edge) {
+        AT(I, j, i) = NEG;
+      } else if (use_end) {
+        if (pm - GAP_OPEN > pi) {
+          AT(It, j, i) = FROM_M;
+          AT(I, j, i) = pm - GAP_OPEN - GAP_END;
+        } else {
+          AT(It, j, i) = FROM_I;
+          AT(I, j, i) = pi - GAP_END;
+        }
+      } else {
+        if (pm - GAP_OPEN > pi) {
+          AT(It, j, i) = FROM_M;
+          AT(I, j, i) = pm - GAP_OPEN - GAP_EXT;
+        } else {
+          AT(It, j, i) = FROM_I;
+          AT(I, j, i) = pi - GAP_EXT;
+        }
+      }
+      // horizontal D
+      pm = AT(M, j, i - 1);
+      int64_t pd2 = AT(D, j, i - 1);
+      if (j == len2) {
+        if (pm - GAP_OPEN > pd2) {
+          AT(Dt, j, i) = FROM_M;
+          AT(D, j, i) = pm - GAP_OPEN - GAP_END;
+        } else {
+          AT(Dt, j, i) = FROM_D;
+          AT(D, j, i) = pd2 - GAP_END;
+        }
+      } else {
+        if (pm - GAP_OPEN > pd2) {
+          AT(Dt, j, i) = FROM_M;
+          AT(D, j, i) = pm - GAP_OPEN - GAP_EXT;
+        } else {
+          AT(Dt, j, i) = FROM_D;
+          AT(D, j, i) = pd2 - GAP_EXT;
+        }
+      }
+    }
+  }
+
+  int i = len1, j = len2;
+  int64_t mx = AT(M, j, i);
+  int8_t typ = AT(Mt, j, i);
+  int ctype = FROM_M;
+  if (AT(I, j, i) > mx) {
+    mx = AT(I, j, i);
+    typ = AT(It, j, i);
+    ctype = FROM_I;
+  }
+  if (AT(D, j, i) > mx) {
+    mx = AT(D, j, i);
+    typ = AT(Dt, j, i);
+    ctype = FROM_D;
+  }
+  res.score = mx;
+  res.ctypes.push_back(ctype);
+  res.pis.push_back(i);
+  res.pjs.push_back(j);
+  while (i || j) {
+    if (ctype == FROM_M) {
+      --i;
+      --j;
+    } else if (ctype == FROM_I) {
+      --j;
+    } else {
+      --i;
+    }
+    ctype = typ;
+    if (ctype == FROM_M)
+      typ = AT(Mt, j, i);
+    else if (ctype == FROM_I)
+      typ = AT(It, j, i);
+    else
+      typ = AT(Dt, j, i);
+    res.ctypes.push_back(ctype);
+    res.pis.push_back(i);
+    res.pjs.push_back(j);
+  }
+  // drop final sentinel (path_len = count-1 like the C/python versions)
+  res.ctypes.pop_back();
+  res.pis.pop_back();
+  res.pjs.pop_back();
+#undef AT
+  return res;
+}
+
+int path_to_cigar(const GlobalResult &r, uint32_t *out, int cap) {
+  if (r.ctypes.empty()) return 0;
+  // path is end->begin; cigar runs begin->end
+  std::vector<uint32_t> ops;
+  int last = r.ctypes[0], n = 1;
+  for (size_t k = 1; k < r.ctypes.size(); ++k) {
+    if (r.ctypes[k] == last)
+      ++n;
+    else {
+      ops.push_back(((uint32_t)last << 28) | n);
+      last = r.ctypes[k];
+      n = 1;
+    }
+  }
+  ops.push_back(((uint32_t)last << 28) | n);
+  int cnt = (int)ops.size();
+  if (cnt > cap) return -1;
+  for (int k = 0; k < cnt; ++k) out[k] = ops[cnt - 1 - k];
+  return cnt;
+}
+
+// forward local pass of dp.aln_local_core (C freeze-F semantics)
+void local_forward(const uint8_t *s1, int n1, const uint8_t *s2, int n2,
+                   int64_t *best, int *bi, int *bj) {
+  std::vector<int64_t> h_prev(n1 + 1, 0), e_prev(n1 + 1, 0), h_curr(n1 + 1, 0),
+      e_curr(n1 + 1, 0);
+  *best = 0;
+  *bi = *bj = 0;
+  for (int j = 1; j <= n2; ++j) {
+    int64_t f = 0;
+    std::fill(h_curr.begin(), h_curr.end(), 0);
+    std::fill(e_curr.begin(), e_curr.end(), 0);
+    for (int i = 1; i <= n1; ++i) {
+      int64_t h = h_prev[i - 1] + score_of(s1[i - 1], s2[j - 1]);
+      if (h < 0) h = 0;
+      if (h_curr[i - 1] > 0) {
+        int64_t cand = h_curr[i - 1] - (GAP_OPEN + GAP_EXT);
+        f = (f - GAP_EXT > cand) ? f - GAP_EXT : cand;
+        if (h < f) h = f;
+      }
+      int64_t e = e_prev[i] - GAP_EXT;
+      int64_t cand2 = h_prev[i] - (GAP_OPEN + GAP_EXT);
+      if (cand2 > e) e = cand2;
+      if (e < 0) e = 0;
+      if (h < e) h = e;
+      h_curr[i] = h;
+      e_curr[i] = e;
+      if (h > *best) {
+        *best = h;
+        *bi = i;
+        *bj = j;
+      }
+    }
+    h_prev.swap(h_curr);
+    e_prev.swap(e_curr);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Banded global alignment; returns score; cigar as (op<<28|len), -1 cap.
+long long sw_global(const uint8_t *ref, int rl, const uint8_t *query, int ql,
+                    uint32_t *cigar_out, int cap, int *n_cigar) {
+  GlobalResult r = global_core(ref, rl, query, ql, BAND);
+  *n_cigar = path_to_cigar(r, cigar_out, cap);
+  return (long long)r.score;
+}
+
+// Local alignment (mate rescue): score; coords[6] = 1-based start_i,
+// start_j, end_i, end_j, plus the region path's begin-entry (i0, j0)
+// (needed for bwa_sw_core's coordinate math); region path cigar.
+// Score < thres or no match -> n_cigar = 0.
+long long sw_local(const uint8_t *ref, int rl, const uint8_t *query, int ql,
+                   int thres, int *coords, uint32_t *cigar_out, int cap,
+                   int *n_cigar) {
+  *n_cigar = 0;
+  for (int k = 0; k < 6; ++k) coords[k] = 0;
+  if (rl == 0 || ql == 0) return -1;
+  int64_t score_f;
+  int end_i, end_j;
+  local_forward(ref, rl, query, ql, &score_f, &end_i, &end_j);
+  coords[2] = end_i;
+  coords[3] = end_j;
+  if (score_f < thres || end_i == 0 || end_j == 0) return (long long)score_f;
+  std::vector<uint8_t> rr1(ref, ref + end_i), rr2(query, query + end_j);
+  std::reverse(rr1.begin(), rr1.end());
+  std::reverse(rr2.begin(), rr2.end());
+  int64_t score_r;
+  int ri, rj;
+  local_forward(rr1.data(), end_i, rr2.data(), end_j, &score_r, &ri, &rj);
+  int start_i = end_i - ri + 1, start_j = end_j - rj + 1;
+  coords[0] = start_i;
+  coords[1] = start_j;
+  GlobalResult g = global_core(ref + start_i - 1, end_i - start_i + 1,
+                               query + start_j - 1, end_j - start_j + 1, BAND);
+  if (!g.pis.empty()) {
+    coords[4] = g.pis.back();
+    coords[5] = g.pjs.back();
+  }
+  *n_cigar = path_to_cigar(g, cigar_out, cap);
+  return (long long)score_f;
+}
+
+}  // extern "C"
