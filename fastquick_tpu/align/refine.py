@@ -54,7 +54,31 @@ def refine_gapped_core(text: np.ndarray, length: int, seq: np.ndarray,
 
 def bwa_cal_md1(cigar: Cigar | None, length: int, pos: int, seq: np.ndarray,
                 text: np.ndarray) -> tuple[str, int]:
-    """MD string + NM (bwase.c:234-296)."""
+    """MD string + NM (bwase.c:234-296); native fast path."""
+    from ..native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is not None:
+        import ctypes
+
+        n_cig = len(cigar) if cigar else 0
+        cig = np.array([(op << 28) | ln for op, ln in (cigar or [])],
+                       dtype=np.uint32)
+        seq_c = np.ascontiguousarray(seq, dtype=np.uint8)
+        cap = 2 * length + 32
+        buf = ctypes.create_string_buffer(cap)
+        cp = ctypes.c_void_p
+        nm = lib.md_nm(cig.ctypes.data_as(cp), n_cig, length, int(pos),
+                       seq_c.ctypes.data_as(cp),
+                       text.ctypes.data_as(cp), len(text), buf, cap)
+        if nm >= 0:
+            return buf.value.decode("ascii"), nm
+    return _bwa_cal_md1_py(cigar, length, pos, seq, text)
+
+
+def _bwa_cal_md1_py(cigar: Cigar | None, length: int, pos: int,
+                    seq: np.ndarray, text: np.ndarray) -> tuple[str, int]:
+    """Pure-python MD/NM (reference implementation + fallback)."""
     l_pac = len(text)
     x, y = pos, 0
     nm = 0

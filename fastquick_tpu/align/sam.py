@@ -9,6 +9,8 @@ the bwa tag set (XT/NM/XN/SM/AM/X0/X1/XM/XO/XG/MD/XA).
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..index.builder import ReducedIndex
 from ..io.bam import BamWriter, tag_A, tag_i, tag_Z
 from .opts import (
@@ -34,19 +36,21 @@ def _real_coord(idx: ReducedIndex, pac_pos: int, opt: GapOpt
     return c.chrom, c.pos - flank + pos - 1, seqid, c.name
 
 
+_FWD_MAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_RC_MAP = np.frombuffer(b"TGCAN", dtype=np.uint8)
+
+
 def _seq_qual(p) -> tuple[str, str]:
     """Sequence/quality in output orientation (SetSamRecord
     :1129-1150).  p.seq is forward after refine; reverse-strand output
     is the reverse complement."""
     if p.strand == 0:
-        seq = "".join("ACGTN"[c] for c in p.seq[: p.full_len])
-        qual = ("".join(chr(q) for q in p.qual[: p.full_len])
+        seq = _FWD_MAP[p.seq[: p.full_len]].tobytes().decode("ascii")
+        qual = (p.qual[: p.full_len].tobytes().decode("latin1")
                 if p.qual is not None else "*")
     else:
-        seq = "".join("TGCAN"[p.seq[p.full_len - 1 - j]]
-                      for j in range(p.full_len))
-        qual = ("".join(chr(p.qual[p.full_len - 1 - j])
-                        for j in range(p.full_len))
+        seq = _RC_MAP[p.seq[: p.full_len][::-1]].tobytes().decode("ascii")
+        qual = (p.qual[: p.full_len][::-1].tobytes().decode("latin1")
                 if p.qual is not None else "*")
     return seq, qual
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from .bgzf import BgzfWriter, bgzf_read_all
 
 # BAM cigar op codes: MIDNSHP=X
@@ -17,6 +19,20 @@ BAM_CIGAR_OPS = "MIDNSHP=X"
 FROM_TO_BAM = {0: 0, 1: 1, 2: 2, 3: 4}
 
 SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+# ASCII (upper+lowercased) -> 4-bit nibble lookup for fast packing
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in SEQ_NT16.items():
+    _NT16_LUT[ord(_c)] = _i
+    _NT16_LUT[ord(_c.lower())] = _i
+
+
+def pack_seq_nibbles(seq: str) -> bytes:
+    """4-bit pack a sequence string (vectorized)."""
+    codes = _NT16_LUT[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+    if len(codes) % 2:
+        codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+    return ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -64,16 +80,15 @@ class BamWriter:
             for op, ln in cigar:
                 cig += struct.pack("<I", (ln << 4) | FROM_TO_BAM[op])
         l_seq = 0 if seq == "*" else len(seq)
-        sq = bytearray()
         if l_seq:
-            for i in range(0, l_seq, 2):
-                hi = SEQ_NT16.get(seq[i].upper(), 15)
-                lo = SEQ_NT16.get(seq[i + 1].upper(), 15) if i + 1 < l_seq else 0
-                sq.append((hi << 4) | lo)
-        if l_seq:
-            ql = (b"\xff" * l_seq if qual == "*"
-                  else bytes([(ord(c) - 33) & 0xFF for c in qual]))
+            sq = pack_seq_nibbles(seq)
+            if qual == "*":
+                ql = b"\xff" * l_seq
+            else:
+                ql = ((np.frombuffer(qual.encode("latin1"), dtype=np.uint8)
+                       - 33).astype(np.uint8).tobytes())
         else:
+            sq = b""
             ql = b""
         end = pos + 1
         if cigar:
@@ -86,7 +101,7 @@ class BamWriter:
         rec = struct.pack("<iiBBHHHiiii", refid, pos, len(name),
                           mapq, reg2bin(max(pos, 0), max(end, 1)), n_cigar,
                           flag, l_seq, next_refid, next_pos, tlen)
-        rec += name + cig + bytes(sq) + ql + tags
+        rec += name + cig + sq + ql + tags
         self._w.write(struct.pack("<i", len(rec)) + rec)
 
     def close(self) -> None:

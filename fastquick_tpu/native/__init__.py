@@ -53,6 +53,11 @@ def get_sw_lib():
                                  ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int, ctypes.c_void_p]
+        lib.md_nm.restype = ctypes.c_int
+        lib.md_nm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_longlong, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_longlong,
+                              ctypes.c_char_p, ctypes.c_int]
         _sw_lib = lib
     except Exception as e:  # pragma: no cover
         print(f"[fastquick_tpu.native] native sw unavailable: {e}",

@@ -8,6 +8,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -293,6 +294,80 @@ long long sw_local(const uint8_t *ref, int rl, const uint8_t *query, int ql,
   }
   *n_cigar = path_to_cigar(g, cigar_out, cap);
   return (long long)score_f;
+}
+
+// MD string + NM count (bwa_cal_md1, libbwa/bwase.c:234-296).
+// cigar: (op<<28|len) with FROM_* codes, n_cigar 0 = gapless.
+// Returns NM; writes NUL-terminated MD into md_out (cap bytes; returns
+// -1 if it would overflow).
+int md_nm(const uint32_t *cigar, int n_cigar, int len, long long pos,
+          const uint8_t *seq, const uint8_t *text, long long l_pac,
+          char *md_out, int cap) {
+  static const char *ACGTN = "ACGTN";
+  int nm = 0, u = 0;
+  long long x = pos;
+  int y = 0;
+  int o = 0;
+#define PUTI(v)                                        \
+  do {                                                 \
+    char tmp[12];                                      \
+    int tn = snprintf(tmp, sizeof tmp, "%d", (v));     \
+    if (o + tn + 1 > cap) return -1;                   \
+    memcpy(md_out + o, tmp, tn);                       \
+    o += tn;                                           \
+  } while (0)
+#define PUTC(c)                  \
+  do {                           \
+    if (o + 2 > cap) return -1;  \
+    md_out[o++] = (c);           \
+  } while (0)
+  if (n_cigar > 0) {
+    for (int k = 0; k < n_cigar; ++k) {
+      int op = cigar[k] >> 28;
+      int ln = cigar[k] & 0x0FFFFFFF;
+      if (op == FROM_M) {
+        for (int z = 0; z < ln && x + z < l_pac; ++z) {
+          int c = text[x + z];
+          if (c > 3 || seq[y + z] > 3 || c != seq[y + z]) {
+            PUTI(u);
+            PUTC(ACGTN[c]);
+            ++nm;
+            u = 0;
+          } else
+            ++u;
+        }
+        x += ln;
+        y += ln;
+      } else if (op == FROM_I || op == FROM_S) {
+        y += ln;
+        if (op == FROM_I) nm += ln;
+      } else if (op == FROM_D) {
+        PUTI(u);
+        PUTC('^');
+        for (int z = 0; z < ln && x + z < l_pac; ++z)
+          PUTC("ACGT"[text[x + z]]);
+        u = 0;
+        x += ln;
+        nm += ln;
+      }
+    }
+  } else {
+    for (int z = 0; z < len; ++z) {
+      int c = x + z < l_pac ? text[x + z] : 4;
+      if (c > 3 || seq[z] > 3 || c != seq[z]) {
+        PUTI(u);
+        PUTC(ACGTN[c]);
+        ++nm;
+        u = 0;
+      } else
+        ++u;
+    }
+  }
+  PUTI(u);
+  md_out[o] = 0;
+  return nm;
+#undef PUTI
+#undef PUTC
 }
 
 }  // extern "C"
