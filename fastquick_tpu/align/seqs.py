@@ -21,7 +21,7 @@ from .opts import BWA_MIN_RDLEN, BWA_MODE_COMPREAD, BWA_TYPE_NO_MATCH
 from .rand import MersenneRandom
 
 
-@dataclass
+@dataclass(slots=True)
 class Read:
     """bwa_seq_t equivalent."""
 
