@@ -256,8 +256,9 @@ class PairEndMapper:
                 seq = s.rseq if s.strand else s.seq
                 s.md, s.nm = bwa_cal_md1(s.cigar, s.len, s.pos, seq, text)
         for s in reads:
-            if s.filtered:
-                continue
+            # NB: the reference's trimming-correction loop has NO filtered
+            # check (bwase.c:415-416) -- filtered reads get their length
+            # restored too, which shows in the SAM of unrescued mates
             bwa_correct_trimmed(s)
 
 

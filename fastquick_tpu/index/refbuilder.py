@@ -90,6 +90,15 @@ class RefBuilder:
             if suffix == "bed":
                 self.callable_regions = RegionList().read_region_list(
                     self.mask_path, collapse=False)
+                # reference stores a std::map keyed by start with max end
+                # (src/RefBuilder.cpp:223-234): sort + dedup by start
+                for chrom, ivs in self.callable_regions.regions.items():
+                    by_start: dict[int, int] = {}
+                    for s, e in ivs:
+                        if by_start.get(s, -1) < e:
+                            by_start[s] = e
+                    self.callable_regions.regions[chrom] = sorted(
+                        by_start.items())
                 notice("Loading Mask Bed file done!")
             elif suffix in (".fa", "sta", ".gz"):
                 self.fasta_mask = FastaFile(self.mask_path)
