@@ -242,20 +242,34 @@ def pairing(p: list[Read], alns: list[list[Aln]], arr: list[int],
     return cnt_chg
 
 
-def bwa_sw_core(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
-                reglen: int) -> tuple[list | None, int, int]:
-    """Mate rescue local SW (bwape.c:359-445).
-    Returns (cigar | None, new_beg, cnt) with cnt = n_mm<<16|n_gapo<<8|n_gape."""
+def _sw_precheck(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
+                 reglen: int) -> bool:
+    """The cheap rejection gates at the top of bwa_sw_core
+    (bwape.c:366-375); shared with the batched path so only jobs that
+    will actually run SW are submitted."""
     l_pac = len(text)
     if reglen < SW_MIN_MATCH_LEN or l_pac - beg < length:
-        return None, beg, 0
+        return False
     n_n = int(np.count_nonzero(seq[:length] > 3))
-    if n_n / length >= 0.25 or length - n_n < SW_MIN_MATCH_LEN:
+    return not (n_n / length >= 0.25 or length - n_n < SW_MIN_MATCH_LEN)
+
+
+def bwa_sw_core(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
+                reglen: int, precomputed=None) -> tuple[list | None, int, int]:
+    """Mate rescue local SW (bwape.c:359-445).
+    Returns (cigar | None, new_beg, cnt) with cnt = n_mm<<16|n_gapo<<8|n_gape.
+    `precomputed` optionally carries this job's (score, cigar, coords)
+    from a batched native sw_local run (identical results)."""
+    l_pac = len(text)
+    if not _sw_precheck(text, length, seq, beg, reglen):
         return None, beg, 0
 
     hi = min(beg + reglen, l_pac)
     ref_seq = text[beg:hi]
-    score, cigar, coords = local_align(ref_seq, seq[:length], thres=1)
+    if precomputed is None:
+        score, cigar, coords = local_align(ref_seq, seq[:length], thres=1)
+    else:
+        score, cigar, coords = precomputed
     if score < 0 or not cigar:
         return None, beg, 0
     si, sj, ei, ej, bi, bj = coords
@@ -290,10 +304,9 @@ def bwa_sw_core(text: np.ndarray, length: int, seq: np.ndarray, beg: int,
     y = pl_j - 1 if pl_j else 0
     for op, ln in cigar:
         if op == FROM_M:
-            for l in range(ln):
-                if (ref_seq[x + l] < 4 and seq[y + l] < 4
-                        and ref_seq[x + l] != seq[y + l]):
-                    n_mm += 1
+            a = ref_seq[x:x + ln]
+            b = seq[y:y + ln]
+            n_mm += int(np.count_nonzero((a < 4) & (b < 4) & (a != b)))
             x += ln
             y += ln
         elif op == FROM_D:
@@ -320,12 +333,80 @@ def expand_seq(p: Read, q: Read, mode: int) -> None:
     p.filtered = False
 
 
+def _batch_local_sw(text: np.ndarray, todo: list) -> dict:
+    """Run every precheck-passing mate-rescue SW window through the
+    threaded native sw_local_batch.  Returns {(pair_idx, k): (score,
+    cigar, coords)}; empty dict when the native lib is unavailable
+    (bwa_sw_core then computes each job itself)."""
+    from ..native import get_sw_lib
+
+    lib = get_sw_lib()
+    if lib is None or not todo:
+        return {}
+    import ctypes
+    import os as _os
+
+    l_pac = len(text)
+    keys = []
+    refs = []
+    qs = []
+    for idx, (p, jobs) in enumerate(todo):
+        for k in (0, 1):
+            if jobs[k] is None:
+                continue
+            a, b, seq = jobs[k]
+            length = p[k].len
+            if not _sw_precheck(text, length, seq, a, b - a):
+                continue
+            keys.append((idx, k))
+            refs.append(np.ascontiguousarray(text[a:min(b, l_pac)],
+                                             dtype=np.uint8))
+            qs.append(np.ascontiguousarray(seq[:length], dtype=np.uint8))
+    if not keys:
+        return {}
+    n = len(keys)
+    ref_len = np.array([len(r) for r in refs], dtype=np.int32)
+    q_len = np.array([len(q) for q in qs], dtype=np.int32)
+    ref_off = np.zeros(n, dtype=np.int64)
+    ref_off[1:] = np.cumsum(ref_len[:-1], dtype=np.int64)
+    q_off = np.zeros(n, dtype=np.int64)
+    q_off[1:] = np.cumsum(q_len[:-1], dtype=np.int64)
+    ref_buf = np.concatenate(refs)
+    q_buf = np.concatenate(qs)
+    cig_cap = int((ref_len + q_len).max()) + 2
+    scores = np.zeros(n, dtype=np.int64)
+    coords = np.zeros(6 * n, dtype=np.int32)
+    cigars = np.zeros(n * cig_cap, dtype=np.uint32)
+    ncig = np.zeros(n, dtype=np.int32)
+    cp = ctypes.c_void_p
+    lib.sw_local_batch(
+        ref_buf.ctypes.data_as(cp), ref_off.ctypes.data_as(cp),
+        ref_len.ctypes.data_as(cp), q_buf.ctypes.data_as(cp),
+        q_off.ctypes.data_as(cp), q_len.ctypes.data_as(cp), n, 1,
+        scores.ctypes.data_as(cp), coords.ctypes.data_as(cp),
+        cigars.ctypes.data_as(cp), cig_cap, ncig.ctypes.data_as(cp),
+        min(8, _os.cpu_count() or 1))
+    out = {}
+    for i, key in enumerate(keys):
+        nc = int(ncig[i])
+        cig = ([(int(c >> 28), int(c & 0x0FFFFFFF))
+                for c in cigars[i * cig_cap:i * cig_cap + nc]]
+               if nc > 0 else [])
+        out[key] = (int(scores[i]), cig,
+                    tuple(int(x) for x in coords[6 * i:6 * i + 6]))
+    return out
+
+
 def bwa_paired_sw(text: np.ndarray, pairs: list[tuple[Read, Read]],
                   popt: PeOpt, ii: IsizeInfo, mode: int) -> None:
     """bwape.c:463-: mate rescue via local SW in the expected window."""
     if not popt.is_sw or ii.avg < 0.0:
         return
     l_pac = len(text)
+
+    # Phase 1 (bwape.c:476-506): per-pair gates + SW window geometry.
+    # Pairs are independent, so every window is known before any SW runs.
+    todo: list = []  # (p, jobs) with jobs[k] = (a, b, seq) | None
     for p0, p1 in pairs:
         p = [p0, p1]
         if p[0].filtered:
@@ -338,11 +419,7 @@ def bwa_paired_sw(text: np.ndarray, pairs: list[tuple[Read, Read]],
         if not ((p[0].mapQ >= SW_MIN_MAPQ or p[1].mapQ >= SW_MIN_MAPQ)
                 and (p[0].extra_flag & SAM_FPP) == 0):
             continue
-        cigar: list = [None, None]
-        beg = [0, 0]
-        end = [0, 0]
-        cnt = [0, 0]
-        mq_adjust = [255, 255]
+        jobs: list = [None, None]
         for k in (0, 1):
             if p[1 - k].type == BWA_TYPE_NO_MATCH:
                 continue
@@ -363,8 +440,27 @@ def bwa_paired_sw(text: np.ndarray, pairs: list[tuple[Read, Read]],
                 if b > p[1 - k].pos:
                     b = p[1 - k].pos
                 seq = p[k].seq[: p[k].len][::-1]  # un-reverse to forward
+            jobs[k] = (a, b, seq)
+        todo.append((p, jobs))
+
+    # Phase 2: one threaded native sw_local pass over every window
+    # (results identical to the per-pair calls; {} without the native lib).
+    pre = _batch_local_sw(text, todo)
+
+    # Phase 3 (bwape.c:508-560): exact per-pair selection/update order.
+    for idx, (p, jobs) in enumerate(todo):
+        cigar: list = [None, None]
+        beg = [0, 0]
+        end = [0, 0]
+        cnt = [0, 0]
+        mq_adjust = [255, 255]
+        for k in (0, 1):
+            if jobs[k] is None:
+                continue
+            a, b, seq = jobs[k]
             beg[k], end[k] = a, b
-            cg, nb, ct = bwa_sw_core(text, p[k].len, seq, a, b - a)
+            cg, nb, ct = bwa_sw_core(text, p[k].len, seq, a, b - a,
+                                     precomputed=pre.get((idx, k)))
             beg[k] = nb
             cnt[k] = ct
             cigar[k] = cg

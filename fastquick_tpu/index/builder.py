@@ -164,6 +164,14 @@ def save_index(new_ref: str, idx: ReducedIndex) -> None:
     d["contig_names"] = np.array([c.name for c in idx.contigs])
     np.savez_compressed(new_ref + ".index.npz", **d)
     idx.kmer.save_npz(new_ref + ".kmer.npz")
+    from .kmerfilter import CACHE_MIN_KEYS
+
+    if sum(len(k) for k in idx.kmer.keys) >= CACHE_MIN_KEYS:
+        # dense-bitmap cache (the reference's .rollhash equivalent):
+        # built once here so every align run just mmaps it
+        idx.kmer.cache_path = new_ref + ".rollhash.bin"
+        idx.kmer.write_bitmap_cache(idx.kmer.cache_path)
+        notice("Rollhash bitmap cache written to %s.rollhash.bin", new_ref)
     notice("Index artifacts written to %s.{index,kmer}.npz", new_ref)
 
 

@@ -35,6 +35,8 @@ KMER_SIZE = 32
 N_TABLES = 6
 TABLE_BITS = 32  # projected space is 2^32 bits = 512 MiB bitmap
 DEFAULT_THRESH = 3
+#: below this many total keys the dense-bitmap disk cache is skipped
+CACHE_MIN_KEYS = 2_000_000
 
 _U64 = np.uint64
 
@@ -182,29 +184,84 @@ class KmerFilter:
         return False
 
     _byte_bitmaps: list[np.ndarray] | None = None
+    #: when set (by load_npz / the index builder), dense bitmaps are
+    #: persisted here once and mmap'd thereafter -- the moral equivalent
+    #: of the reference's `.rollhash` dump (BwtIndexer.cpp DumpRollHash),
+    #: kept as a rebuildable cache beside the sparse-key artifact.
+    cache_path: str | None = None
+
+    def _build_table(self, t: int) -> np.ndarray:
+        """Dense 512 MiB byte bitmap for one projection table."""
+        from ..native import get_sw_lib
+
+        lib = get_sw_lib()
+        table = np.zeros(1 << 29, dtype=np.uint8)
+        # sorted keys -> near-sequential writes (TLB/page-fault friendly;
+        # the unsorted scatter is ~10x slower on 512 MiB tables)
+        k = np.sort(self.keys[t]).astype(np.uint32, copy=False)
+        if lib is not None:
+            import ctypes
+
+            lib.set_bits(table.ctypes.data_as(ctypes.c_void_p),
+                         k.ctypes.data_as(ctypes.c_void_p), len(k))
+        else:
+            np.bitwise_or.at(table, k >> 3,
+                             (np.uint8(1) << (k & 7)).astype(np.uint8))
+        return table
+
+    def write_bitmap_cache(self, cache: str) -> None:
+        """Build and persist the 6 dense bitmaps (3 GiB, one table
+        resident at a time); atomic via temp-file rename."""
+        import os
+
+        tmp = f"{cache}.tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            for t in range(N_TABLES):
+                self._build_table(t).tofile(fh)
+        os.replace(tmp, cache)
 
     def byte_bitmaps(self) -> list[np.ndarray]:
         """Dense per-table byte bitmaps in the reference's layout
-        (bit k at byte k>>3, bit k&7) for the native filter.  Cached;
-        6 x 512 MiB."""
-        if self._byte_bitmaps is None:
-            out = []
-            for t in range(N_TABLES):
-                table = np.zeros(1 << 29, dtype=np.uint8)
-                k = self.keys[t]
-                np.bitwise_or.at(table, k >> 3,
-                                 (np.uint8(1) << (k & 7)).astype(np.uint8))
-                out.append(table)
-            self._byte_bitmaps = out
+        (bit k at byte k>>3, bit k&7) for the native filter; 6 x 512 MiB.
+        File-backed (mmap) when ``cache_path`` is set: page-cache pages
+        are shared across processes/runs and are not subject to the
+        anonymous-memory reclaim that makes per-process rebuilds slow."""
+        if self._byte_bitmaps is not None:
+            return self._byte_bitmaps
+        cache = self.cache_path
+        if sum(len(k) for k in self.keys) < CACHE_MIN_KEYS:
+            cache = None  # tiny (test) indexes: not worth 3 GiB on disk
+        if cache is not None:
+            import os
+
+            if not (os.path.exists(cache)
+                    and os.path.getsize(cache) == N_TABLES << 29):
+                self.write_bitmap_cache(cache)
+            mm = np.memmap(cache, dtype=np.uint8, mode="r")
+            self._byte_bitmaps = [mm[t << 29:(t + 1) << 29]
+                                  for t in range(N_TABLES)]
+        else:
+            self._byte_bitmaps = [self._build_table(t)
+                                  for t in range(N_TABLES)]
         return self._byte_bitmaps
 
     def bitmaps_uint32(self) -> np.ndarray:
         """Dense (6, 2^27) uint32 bitmap array for device HBM (3 GiB)."""
+        from ..native import get_sw_lib
+
+        lib = get_sw_lib()
         n_words = 1 << 27  # 2^32 bits / 32
         out = np.zeros((N_TABLES, n_words), dtype=np.uint32)
         for t in range(N_TABLES):
-            k = self.keys[t]
-            np.bitwise_or.at(out[t], k >> 5, np.uint32(1) << (k & 31).astype(np.uint32))
+            k = np.sort(self.keys[t]).astype(np.uint32, copy=False)
+            if lib is not None:
+                import ctypes
+
+                lib.set_bits32(out[t].ctypes.data_as(ctypes.c_void_p),
+                               k.ctypes.data_as(ctypes.c_void_p), len(k))
+            else:
+                np.bitwise_or.at(out[t], k >> 5,
+                                 np.uint32(1) << (k & 31).astype(np.uint32))
         return out
 
     def save_npz(self, path: str) -> None:
@@ -214,5 +271,8 @@ class KmerFilter:
     @classmethod
     def load_npz(cls, path: str) -> "KmerFilter":
         d = np.load(path)
-        return cls(keys=[d[f"keys{t}"] for t in range(N_TABLES)],
-                   thresh=int(d["thresh"]))
+        kf = cls(keys=[d[f"keys{t}"] for t in range(N_TABLES)],
+                 thresh=int(d["thresh"]))
+        if path.endswith(".kmer.npz"):
+            kf.cache_path = path[:-len(".kmer.npz")] + ".rollhash.bin"
+        return kf

@@ -40,7 +40,7 @@ def get_sw_lib():
                 or os.path.getmtime(_SW_SO) < os.path.getmtime(_SW_SRC)):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SW_SO, _SW_SRC],
+                 "-pthread", "-o", _SW_SO, _SW_SRC],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SW_SO)
         lib.sw_global.restype = ctypes.c_longlong
@@ -53,6 +53,18 @@ def get_sw_lib():
                                  ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int, ctypes.c_void_p]
+        lib.sw_local_batch.restype = None
+        lib.sw_local_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.set_bits.restype = None
+        lib.set_bits.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_longlong]
+        lib.set_bits32.restype = None
+        lib.set_bits32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_longlong]
         lib.md_nm.restype = ctypes.c_int
         lib.md_nm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                               ctypes.c_longlong, ctypes.c_void_p,

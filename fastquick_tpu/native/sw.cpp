@@ -7,9 +7,11 @@
 // results are differential-tested equal to dp.py.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -294,6 +296,55 @@ long long sw_local(const uint8_t *ref, int rl, const uint8_t *query, int ql,
   }
   *n_cigar = path_to_cigar(g, cigar_out, cap);
   return (long long)score_f;
+}
+
+// Batched mate-rescue local SW: n jobs, each ref/query given as
+// (offset, len) into the concatenated byte buffers.  Outputs per job:
+// scores[i], coords[6*i..], cigars[i*cig_cap..] with n_cigars[i]
+// entries.  Runs on nthreads std::threads (jobs are independent).
+void sw_local_batch(const uint8_t *refs, const int64_t *ref_off,
+                    const int32_t *ref_len, const uint8_t *queries,
+                    const int64_t *q_off, const int32_t *q_len, int n,
+                    int thres, long long *scores, int *coords,
+                    uint32_t *cigars, int cig_cap, int *n_cigars,
+                    int nthreads) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      scores[i] = sw_local(refs + ref_off[i], ref_len[i], queries + q_off[i],
+                           q_len[i], thres, coords + 6 * i,
+                           cigars + (size_t)i * cig_cap, cig_cap,
+                           n_cigars + i);
+    }
+  };
+  if (nthreads <= 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads - 1; ++t) ts.emplace_back(work);
+  work();
+  for (auto &t : ts) t.join();
+}
+
+// Set bit k (byte k>>3, bit k&7) for every key: the k-mer filter's
+// dense-bitmap construction (BwtIndexer.cpp rollhash dump layout).
+// ~100x faster than np.bitwise_or.at.
+void set_bits(uint8_t *bitmap, const uint32_t *keys, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t k = keys[i];
+    bitmap[k >> 3] |= (uint8_t)(1u << (k & 7));
+  }
+}
+
+// Same for the device layout: uint32 words, bit k at word k>>5.
+void set_bits32(uint32_t *bitmap, const uint32_t *keys, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t k = keys[i];
+    bitmap[k >> 5] |= (1u << (k & 31));
+  }
 }
 
 // MD string + NM count (bwa_cal_md1, libbwa/bwase.c:234-296).
