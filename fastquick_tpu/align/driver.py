@@ -225,6 +225,7 @@ class PairEndMapper:
             if self.sam is not None:
                 self.sam.write_pair(idx, p[0], p[1], opt)
         fsc.num_read += 2 * n
+        self.collector.flush_dense()
         return ii
 
     def _refine_gapped(self, reads: list[Read]) -> None:
@@ -305,6 +306,7 @@ class SingleEndMapper(PairEndMapper):
                 if self.sam is not None:
                     self.sam.write_pair(self.idx, p, None, opt)
             fsc.num_read += len(batch)
+            self.collector.flush_dense()
         reader.close()
 
 

@@ -52,6 +52,14 @@ def refine_gapped_core(text: np.ndarray, length: int, seq: np.ndarray,
     return cigar, new_pos
 
 
+try:
+    import ctypes as _ct
+
+    _MD_BUF = _ct.create_string_buffer(4096)
+except Exception:  # pragma: no cover
+    _MD_BUF = b""
+
+
 def bwa_cal_md1(cigar: Cigar | None, length: int, pos: int, seq: np.ndarray,
                 text: np.ndarray) -> tuple[str, int]:
     """MD string + NM (bwase.c:234-296); native fast path."""
@@ -66,7 +74,10 @@ def bwa_cal_md1(cigar: Cigar | None, length: int, pos: int, seq: np.ndarray,
                        dtype=np.uint32)
         seq_c = np.ascontiguousarray(seq, dtype=np.uint8)
         cap = 2 * length + 32
-        buf = ctypes.create_string_buffer(cap)
+        global _MD_BUF
+        if len(_MD_BUF) < cap:  # reused scratch; md_nm NUL-terminates
+            _MD_BUF = ctypes.create_string_buffer(max(cap, 4096))
+        buf = _MD_BUF
         cp = ctypes.c_void_p
         nm = lib.md_nm(cig.ctypes.data_as(cp), n_cig, length, int(pos),
                        seq_c.ctypes.data_as(cp),

@@ -172,6 +172,34 @@ class NativeFastqReader:
             raise RuntimeError("malformed FASTQ input")
         raw = names.raw  # single copy; per-item .raw slicing copies 67MB each
         out: list[Read] = []
+        # uniform-length fast path (the overwhelmingly common case):
+        # batch-compute forward/reversed/revcomp arrays once and hand each
+        # Read row views (no downstream code mutates these in place)
+        if n and int(full_lens[:n].min()) == int(full_lens[:n].max()) \
+                and int(lens[:n].min()) == int(lens[:n].max()) \
+                and int(lens[0]) == int(full_lens[0]):
+            L = int(lens[0])
+            fwd = np.ascontiguousarray(seqs[:n, :L])
+            rev = np.ascontiguousarray(fwd[:, ::-1])
+            if is_comp:
+                rvc = np.where(rev < 4, 3 - rev, rev).astype(np.uint8)
+            else:
+                rvc = rev
+            qrows = np.ascontiguousarray(quals[:n, :L])
+            has_q = qrows.max(axis=1) > 0
+            for i in range(n):
+                p = Read()
+                p.full_len = p.clip_len = p.len = L
+                p.qual = qrows[i] if has_q[i] else None
+                p.name = raw[i * NS_: (i + 1) * NS_].split(b"\0")[0].decode()
+                if filt[i]:
+                    p.filtered = True
+                    p.seq = fwd[i]
+                else:
+                    p.rseq = rvc[i]
+                    p.seq = rev[i]
+                out.append(p)
+            return out
         for i in range(n):
             p = Read()
             fl = int(full_lens[i])

@@ -160,8 +160,9 @@ class KmerFilter:
         k = np.array([kmer], dtype=_U64)
         hits = 0
         for t in range(N_TABLES):
-            proj = int(kmer_shrinkage(k, t)[0])
-            i = np.searchsorted(self.keys[t], proj)
+            proj = kmer_shrinkage(k, t)[0]  # keep the keys' dtype: a
+            # python-int needle makes searchsorted cast the whole array
+            i = np.searchsorted(self.keys[t], proj.astype(self.keys[t].dtype))
             if i < len(self.keys[t]) and self.keys[t][i] == proj:
                 hits += 1
         return hits

@@ -173,8 +173,15 @@ class StatCollector:
         self.emp_cycle_dist = np.zeros(256, dtype=np.int64)
         self.mis_emp_cycle_dist = np.zeros(256, dtype=np.int64)
         self.insert_size_dist = [0] * INSERT_SIZE_LIMIT
+        # deferred dense-site scatters (see _update_regular/flush_dense)
+        self._pend_idx: list[np.ndarray] = []
+        self._pend_bq: list[np.ndarray] = []
+        self._pend_cycles: list[np.ndarray] = []
+        self._pend_mis_bq: list[np.ndarray] = []
+        self._pend_mis_cycles: list[np.ndarray] = []
         self._marker_pos: dict[str, np.ndarray] = {}
-        self.gc: dict[str, dict[int, int]] = {}
+        # per-chrom list of (start_pos, per-position GC values) segments
+        self.gc: dict[str, list[tuple[int, np.ndarray]]] = {}
         self.duplicate_table: set[str] = set()
         self.contig_status: dict[str, list[int]] = {}
         # [overlapped, fully_included, pair_overlapped, fully_included_paired]
@@ -209,9 +216,8 @@ class StatCollector:
                 self.vcf_table.setdefault(chrom, {})[pos] = len(self.vcf_rec_vec) - 1
                 gcs = gc_records[n]
                 tmp_pos = pos - (len(gcs) - 1) // 2
-                gd = self.gc.setdefault(chrom, {})
-                for i, v in enumerate(gcs):
-                    gd[tmp_pos + i] = int(v)
+                self.gc.setdefault(chrom, []).append(
+                    (tmp_pos, gcs.astype(np.int64)))
                 if chrom in ("X", "Y"):
                     self.num_xy_marker += 1
                     self.flank_region.add(chrom, pos - opt.flank_len + chopped,
@@ -261,11 +267,15 @@ class StatCollector:
             if not self.flank_region.collapsed:
                 self.flank_region.collapse()
             s = DenseSites(self.flank_region.regions)
-            for chrom, gcd in self.gc.items():
-                s.fill_from_position_map(chrom, gcd, "gc")
+            for chrom, segs in self.gc.items():
+                pos = np.concatenate(
+                    [t + np.arange(len(g), dtype=np.int64) for t, g in segs])
+                val = np.concatenate([g for _, g in segs])
+                s.fill_from_positions(chrom, pos, val, "gc")
             for chrom, posset in self.dbsnp_table.items():
-                s.fill_from_position_map(chrom, dict.fromkeys(posset, 1),
-                                         "dbsnp")
+                s.fill_from_positions(
+                    chrom, np.fromiter(posset, np.int64, len(posset)),
+                    None, "dbsnp")
             self._sites = s
         return self._sites
 
@@ -304,22 +314,46 @@ class StatCollector:
             return 0
         off = positions - site  # segment-relative offsets (int64)
         bq = qual[rel_read + off]
-        self.sites.depth[idx] += 1
-        q20m = bq >= 20
-        self.sites.q20[idx] += q20m
-        self.sites.q30[idx] += (bq >= 30) & q20m
         sign = -1 if strand else 1
         cycles = tmp_cycle + sign * off
-        np.add.at(self.emp_rep_dist, bq, 1)
-        np.add.at(self.emp_cycle_dist, cycles, 1)
         rb = seq[rel_read + off]
         fb = ref_seq[rel_ref + off]
         N = ord("N")
         mism = (rb != N) & (fb != rb) & (fb != N) & ~self.sites.dbsnp[idx]
+        # deferred: one np.add.at per batch instead of per read (the
+        # scatters are commutative sums; flush_dense() applies them)
+        self._pend_idx.append(idx)
+        self._pend_bq.append(bq)
+        self._pend_cycles.append(cycles)
         if mism.any():
-            np.add.at(self.mis_emp_rep_dist, bq[mism], 1)
-            np.add.at(self.mis_emp_cycle_dist, cycles[mism], 1)
+            self._pend_mis_bq.append(bq[mism])
+            self._pend_mis_cycles.append(cycles[mism])
         return len(idx)
+
+    def flush_dense(self) -> None:
+        """Apply the deferred dense-site scatter-adds accumulated by
+        _update_regular.  Must run before anything reads sites.depth/
+        q20/q30 or the empirical distributions (process_core,
+        save_shard); the driver also calls it at each batch end."""
+        if self._pend_idx:
+            idx = np.concatenate(self._pend_idx)
+            bq = np.concatenate(self._pend_bq)
+            cycles = np.concatenate(self._pend_cycles)
+            np.add.at(self.sites.depth, idx, 1)
+            np.add.at(self.sites.q20, idx[bq >= 20], 1)
+            np.add.at(self.sites.q30, idx[bq >= 30], 1)
+            np.add.at(self.emp_rep_dist, bq, 1)
+            np.add.at(self.emp_cycle_dist, cycles, 1)
+            self._pend_idx.clear()
+            self._pend_bq.clear()
+            self._pend_cycles.clear()
+        if self._pend_mis_bq:
+            np.add.at(self.mis_emp_rep_dist,
+                      np.concatenate(self._pend_mis_bq), 1)
+            np.add.at(self.mis_emp_cycle_dist,
+                      np.concatenate(self._pend_mis_cycles), 1)
+            self._pend_mis_bq.clear()
+            self._pend_mis_cycles.clear()
 
     def add_single_alignment(self, idx: ReducedIndex, p, opt: GapOpt) -> bool:
         """AddSingleAlignment (:424-621)."""
@@ -624,6 +658,7 @@ class StatCollector:
     # ---- outputs ----
 
     def process_core(self, prefix: str, opt: GapOpt) -> None:
+        self.flush_dense()
         self.get_depth_dist(prefix, opt)
         self.get_gc_dist(prefix)
         self.get_emp_rep_dist(prefix)

@@ -30,6 +30,7 @@ from .collector import StatCollector
 def save_shard(col: StatCollector, path: str, prop_pair_keys: bool = True
                ) -> None:
     """Serialize the accumulator state of one shard run."""
+    col.flush_dense()
     d: dict = {}
     s = col.sites
     d["depth"] = s.depth
@@ -69,6 +70,7 @@ def save_shard(col: StatCollector, path: str, prop_pair_keys: bool = True
 def merge_shards(col: StatCollector, shard_paths: list[str]) -> None:
     """Merge shard states into a freshly restored collector (which must
     have restore_vcf_sites + set_genome_size already applied)."""
+    col.flush_dense()
     from .collector import FileStat
 
     s = col.sites

@@ -43,6 +43,15 @@ class DenseSites:
         c = self.chroms.get(chrom)
         if c is None or end <= start:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        s0 = start - 1
+        # fast path: the whole range inside one region (the common case
+        # for a read segment against a marker flank) needs no per-position
+        # searchsorted/masking
+        iv1 = int(np.searchsorted(c["starts"], s0, side="right")) - 1
+        if iv1 >= 0 and end - 1 <= int(c["ends"][iv1]):
+            base = int(c["offsets"][iv1]) - int(c["starts"][iv1])
+            p0 = np.arange(s0, end - 1, dtype=np.int64)
+            return (p0 + 1, p0 + base)
         p0 = np.arange(start - 1, end - 1, dtype=np.int64)  # 0-based
         iv = np.searchsorted(c["starts"], p0, side="right") - 1
         ok = iv >= 0
@@ -55,11 +64,20 @@ class DenseSites:
                                field: str) -> None:
         """Populate a per-position field (gc / dbsnp) from a dict of
         1-based positions."""
-        c = self.chroms.get(chrom)
-        if c is None or not values:
+        if not values:
             return
-        pos = np.fromiter(values.keys(), dtype=np.int64)
-        val = np.fromiter(values.values(), dtype=np.int64)
+        self.fill_from_positions(
+            chrom, np.fromiter(values.keys(), dtype=np.int64),
+            np.fromiter(values.values(), dtype=np.int64), field)
+
+    def fill_from_positions(self, chrom: str, pos: np.ndarray,
+                            val: np.ndarray | None, field: str) -> None:
+        """Populate a per-position field (gc / dbsnp) from 1-based
+        position + value arrays (duplicate positions: last wins, like
+        the dict-based path)."""
+        c = self.chroms.get(chrom)
+        if c is None or len(pos) == 0:
+            return
         p0 = pos - 1
         iv = np.searchsorted(c["starts"], p0, side="right") - 1
         ok = iv >= 0
