@@ -105,24 +105,46 @@ class PairEndMapper:
 
     def run(self, fq1: str, fq2: str, fsc: FileStat,
             batch_size: int = READ_BUFFER_SIZE) -> None:
+        """Double-buffered IO (the reference's IOworkerAlt pipeline,
+        src/BwtMapper.cpp:709-718, :2095-2104): a prefetch thread parses
+        + filters the NEXT pair of batches (the native loader releases
+        the GIL) while the main thread aligns the current one."""
+        import threading
+
         opt = self.opt
         r1, nat1 = self._open_reader(fq1)
         r2, nat2 = self._open_reader(fq2)
         last_ii = IsizeInfo()
-        round_no = 0
-        while True:
+
+        def fetch(round_no):
             b0 = self._next_batch(r1, nat1, batch_size, round_no)
             b1 = self._next_batch(r2, nat2, batch_size, round_no)
-            round_no += 1
+            return b0, b1
+
+        nxt: list = [None]
+
+        def prefetch(round_no):
+            nxt[0] = fetch(round_no)
+
+        cur = fetch(0)
+        round_no = 1
+        while True:
+            b0, b1 = cur
             if not b0 and not b1:
                 break
+            th = threading.Thread(target=prefetch, args=(round_no,))
+            th.start()
+            round_no += 1
             if len(b0) != len(b1):
+                th.join()
                 error("Pair-end files out of sync: %d vs %d reads",
                       len(b0), len(b1))
             self.engine.align_batch(b0, opt)
             self.engine.align_batch(b1, opt)
             ii = self._process_batch(b0, b1, last_ii, fsc)
             last_ii = ii
+            th.join()
+            cur = nxt[0]
         r1.close()
         r2.close()
 
@@ -266,16 +288,25 @@ class PairEndMapper:
 class SingleEndMapper(PairEndMapper):
     def run(self, fq1: str, fq2: str, fsc: FileStat,
             batch_size: int = READ_BUFFER_SIZE) -> None:
+        import threading
+
         opt = self.opt
         idx = self.idx
         fms = (idx.fm_fwd, idx.fm_rev)
         reader, native = self._open_reader(fq1)
-        round_no = 0
+        nxt: list = [None]
+
+        def prefetch(rno):
+            nxt[0] = self._next_batch(reader, native, batch_size, rno)
+
+        batch = self._next_batch(reader, native, batch_size, 0)
+        round_no = 1
         while True:
-            batch = self._next_batch(reader, native, batch_size, round_no)
-            round_no += 1
             if not batch:
                 break
+            th = threading.Thread(target=prefetch, args=(round_no,))
+            th.start()
+            round_no += 1
             self.engine.align_batch(batch, opt)
             for p in batch:
                 fsc.num_base += p.full_len
@@ -307,6 +338,8 @@ class SingleEndMapper(PairEndMapper):
                     self.sam.write_pair(self.idx, p, None, opt)
             fsc.num_read += len(batch)
             self.collector.flush_dense()
+            th.join()
+            batch = nxt[0]
         reader.close()
 
 
