@@ -162,7 +162,9 @@ def save_index(new_ref: str, idx: ReducedIndex) -> None:
     d["contig_offsets"] = idx.contig_offsets
     d["contig_lengths"] = np.array([c.length for c in idx.contigs], dtype=np.int64)
     d["contig_names"] = np.array([c.name for c in idx.contigs])
-    np.savez_compressed(new_ref + ".index.npz", **d)
+    # uncompressed: load_index mmaps the members (zip-stored arrays are
+    # page-aligned), so align startup pays no decompress/copy cost
+    np.savez(new_ref + ".index.npz", **d)
     idx.kmer.save_npz(new_ref + ".kmer.npz")
     from .kmerfilter import CACHE_MIN_KEYS
 
@@ -176,15 +178,16 @@ def save_index(new_ref: str, idx: ReducedIndex) -> None:
 
 
 def load_index(new_ref: str) -> ReducedIndex:
-    d = np.load(new_ref + ".index.npz", allow_pickle=False)
+    d = np.load(new_ref + ".index.npz", allow_pickle=False,
+                mmap_mode="r")
     fms = {}
     for tag in ("f", "r"):
         text_len = len(d["text"])
-        bwt = _unpack_bwt(d[f"{tag}_bwt_words"], text_len)
         fms[tag] = FMIndex(
             n=text_len, primary=int(d[f"{tag}_primary"]),
-            C=d[f"{tag}_C"], bwt=bwt, bwt_words=d[f"{tag}_bwt_words"],
-            occ=d[f"{tag}_occ"], sa=d[f"{tag}_sa"])
+            C=np.asarray(d[f"{tag}_C"]),
+            bwt_words=np.asarray(d[f"{tag}_bwt_words"]),
+            occ=np.asarray(d[f"{tag}_occ"]), sa=np.asarray(d[f"{tag}_sa"]))
     names = d["contig_names"]
     offsets = d["contig_offsets"]
     lengths = d["contig_lengths"]
@@ -195,13 +198,6 @@ def load_index(new_ref: str) -> ReducedIndex:
                         text=d["text"], contigs=contigs,
                         contig_offsets=offsets.astype(np.int64),
                         kmer=kmer, ambs=[])
-
-
-def _unpack_bwt(words: np.ndarray, n: int) -> np.ndarray:
-    shifts = (2 * (15 - np.arange(16))).astype(np.uint32)
-    all_codes = ((words[:, None].astype(np.uint64) >> shifts[None, :].astype(np.uint64))
-                 & np.uint64(3)).astype(np.uint8)
-    return all_codes.reshape(-1)[:n]
 
 
 def _dump_pac(path: str, text: np.ndarray) -> None:

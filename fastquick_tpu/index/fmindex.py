@@ -89,6 +89,15 @@ def pack_2bit_words(codes: np.ndarray) -> np.ndarray:
     return words.astype(np.uint32)
 
 
+def unpack_2bit_words(words: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of pack_2bit_words: (n,) uint8 codes from packed uint32."""
+    shifts = (2 * (15 - np.arange(16))).astype(np.uint32)
+    all_codes = ((np.asarray(words)[:, None].astype(np.uint64)
+                  >> shifts[None, :].astype(np.uint64))
+                 & np.uint64(3)).astype(np.uint8)
+    return all_codes.reshape(-1)[:n]
+
+
 @dataclass
 class FMIndex:
     """One direction of the FM-index (built over T or reverse(T))."""
@@ -96,10 +105,19 @@ class FMIndex:
     n: int
     primary: int  # row with SA == 0
     C: np.ndarray  # (5,) int64: C[c] = 1 + #chars < c; C[4] = n+1
-    bwt: np.ndarray  # (n,) uint8, sentinel-removed BWT
     bwt_words: np.ndarray  # packed 2-bit uint32
     occ: np.ndarray  # (n_blocks+1, 4) int32 checkpoint counts
     sa: np.ndarray  # (n+1,) int32 full suffix array
+    # unpacked (n,) uint8 sentinel-removed BWT; derived lazily from
+    # bwt_words -- only the host-oracle occ_at() path needs it, and the
+    # production (native/device) engines never touch it
+    bwt_unpacked: np.ndarray | None = None
+
+    @property
+    def bwt(self) -> np.ndarray:
+        if self.bwt_unpacked is None:
+            self.bwt_unpacked = unpack_2bit_words(self.bwt_words, self.n)
+        return self.bwt_unpacked
 
     @classmethod
     def build(cls, t: np.ndarray) -> "FMIndex":
@@ -117,7 +135,7 @@ class FMIndex:
         C[0] = 1
         C[1:] = 1 + np.cumsum(counts)
         occ = cls._build_occ(bwt)
-        return cls(n=n, primary=primary, C=C, bwt=bwt,
+        return cls(n=n, primary=primary, C=C, bwt_unpacked=bwt,
                    bwt_words=pack_2bit_words(bwt), occ=occ,
                    sa=sa.astype(np.int32))
 

@@ -229,15 +229,22 @@ class KmerFilter:
         anonymous-memory reclaim that makes per-process rebuilds slow."""
         if self._byte_bitmaps is not None:
             return self._byte_bitmaps
+        import os
+
         cache = self.cache_path
-        if sum(len(k) for k in self.keys) < CACHE_MIN_KEYS:
+        if cache is not None and os.path.exists(cache) \
+                and os.path.getsize(cache) == N_TABLES << 29:
+            # mmap the existing cache without ever touching the (lazily
+            # loaded) key arrays
+            mm = np.memmap(cache, dtype=np.uint8, mode="r")
+            self._byte_bitmaps = [mm[t << 29:(t + 1) << 29]
+                                  for t in range(N_TABLES)]
+            return self._byte_bitmaps
+        if cache is not None \
+                and sum(len(k) for k in self.keys) < CACHE_MIN_KEYS:
             cache = None  # tiny (test) indexes: not worth 3 GiB on disk
         if cache is not None:
-            import os
-
-            if not (os.path.exists(cache)
-                    and os.path.getsize(cache) == N_TABLES << 29):
-                self.write_bitmap_cache(cache)
+            self.write_bitmap_cache(cache)
             mm = np.memmap(cache, dtype=np.uint8, mode="r")
             self._byte_bitmaps = [mm[t << 29:(t + 1) << 29]
                                   for t in range(N_TABLES)]
@@ -266,14 +273,36 @@ class KmerFilter:
         return out
 
     def save_npz(self, path: str) -> None:
-        np.savez_compressed(path, thresh=np.int32(self.thresh),
-                            **{f"keys{t}": self.keys[t] for t in range(N_TABLES)})
+        # uncompressed: the 32-bit hash keys are high-entropy (deflate
+        # saves little) and uncompressed members load without a copy pass
+        np.savez(path, thresh=np.int32(self.thresh),
+                 **{f"keys{t}": self.keys[t] for t in range(N_TABLES)})
 
     @classmethod
     def load_npz(cls, path: str) -> "KmerFilter":
         d = np.load(path)
-        kf = cls(keys=[d[f"keys{t}"] for t in range(N_TABLES)],
-                 thresh=int(d["thresh"]))
+        kf = cls(keys=_LazyKeys(d), thresh=int(d["thresh"]))
         if path.endswith(".kmer.npz"):
             kf.cache_path = path[:-len(".kmer.npz")] + ".rollhash.bin"
         return kf
+
+
+class _LazyKeys:
+    """List-like over the 6 key arrays, materialized per table on first
+    access (with the rollhash bitmap cache present, align runs never
+    touch them at all)."""
+
+    def __init__(self, npz):
+        self._d = npz
+        self._cache: list = [None] * N_TABLES
+
+    def __getitem__(self, t: int) -> np.ndarray:
+        if self._cache[t] is None:
+            self._cache[t] = self._d[f"keys{t}"]
+        return self._cache[t]
+
+    def __len__(self) -> int:
+        return N_TABLES
+
+    def __iter__(self):
+        return (self[t] for t in range(N_TABLES))
