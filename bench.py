@@ -38,6 +38,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_READS_PER_SEC = 100_000.0
 
 
+def _device_env_fix():
+    """Known-good axon incantation for this image: with the pool-IPs var
+    set, the relay intermittently hangs on repeat dispatches; popping it
+    before the first jax import yields a stable 'tpu' backend (same as
+    __graft_entry__'s self-test)."""
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+
 def _enable_jax_cache():
     # Only for the slow-compiling lockstep search kernel ("tpu" mode);
     # the cache interacts badly with axon remote-compile on small graphs.
@@ -186,6 +194,7 @@ def main() -> int:
     print(f"# index built: {n_bp} bp in {time.time() - t0:.1f}s",
           file=sys.stderr)
     if which == "e2e":
+        _device_env_fix()
         # NB: no persistent jax cache here -- it interacts badly with the
         # axon remote-compile path (minutes-long stalls); this graph
         # compiles in ~2s anyway
@@ -199,6 +208,7 @@ def main() -> int:
         }))
         return 0
     if which == "tpu":
+        _device_env_fix()
         _enable_jax_cache()
         from fastquick_tpu.ops.batch_search import BatchEngine
 

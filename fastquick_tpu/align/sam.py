@@ -90,7 +90,7 @@ class SamWriter:
             self._write_one(idx, q, p, opt)
 
     def _write_one(self, idx: ReducedIndex, p, mate, opt: GapOpt) -> None:
-        fields = self._record(idx, p, mate, opt)
+        fields = self._record(idx, p, mate, opt, txt=self._sam is not None)
         if fields is None:
             return
         if self._sam is not None:
@@ -107,12 +107,15 @@ class SamWriter:
             self._bam.write_record(qname, flag, rname, pos, mapq, cig, rnext,
                                    pnext, tlen, seq, qual, tags_bin)
 
-    def _record(self, idx: ReducedIndex, p, mate, opt: GapOpt):
+    def _record(self, idx: ReducedIndex, p, mate, opt: GapOpt,
+                txt: bool = True):
         tags_text: list[str] = []
         tags_bin = b""
         if self.rg_id:
-            tags_text.append(f"RG:Z:{self.rg_id}")
-            tags_bin += tag_Z("RG", self.rg_id)
+            if txt:
+                tags_text.append(f"RG:Z:{self.rg_id}")
+            else:
+                tags_bin += tag_Z("RG", self.rg_id)
 
         if p.type != BWA_TYPE_NO_MATCH or (mate is not None
                                            and mate.type != BWA_TYPE_NO_MATCH):
@@ -158,32 +161,52 @@ class SamWriter:
             seq, qual = _seq_qual(p)
             if p.type != BWA_TYPE_NO_MATCH:
                 xt = "NURM"[p.type]
-                tags_text.append(f"XT:A:{xt}")
-                tags_bin += tag_A("XT", xt)
+                if txt:
+                    tags_text.append(f"XT:A:{xt}")
+                else:
+                    tags_bin += tag_A("XT", xt)
                 nm_tag = "NM" if opt.mode & BWA_MODE_COMPREAD else "CM"
-                tags_text.append(f"{nm_tag}:i:{p.nm}")
-                tags_bin += tag_i(nm_tag, p.nm)
+                if txt:
+                    tags_text.append(f"{nm_tag}:i:{p.nm}")
+                else:
+                    tags_bin += tag_i(nm_tag, p.nm)
                 if mate is not None:
                     am = min(mate.seQ, p.seQ)
-                    tags_text.append(f"SM:i:{p.seQ}")
-                    tags_bin += tag_i("SM", p.seQ)
-                    tags_text.append(f"AM:i:{am}")
-                    tags_bin += tag_i("AM", am)
+                    if txt:
+                        tags_text.append(f"SM:i:{p.seQ}")
+                    else:
+                        tags_bin += tag_i("SM", p.seQ)
+                    if txt:
+                        tags_text.append(f"AM:i:{am}")
+                    else:
+                        tags_bin += tag_i("AM", am)
                 if p.type != BWA_TYPE_MATESW:
-                    tags_text.append(f"X0:i:{p.c1}")
-                    tags_bin += tag_i("X0", p.c1)
+                    if txt:
+                        tags_text.append(f"X0:i:{p.c1}")
+                    else:
+                        tags_bin += tag_i("X0", p.c1)
                     if p.c1 <= opt.max_top2:
-                        tags_text.append(f"X1:i:{p.c2}")
-                        tags_bin += tag_i("X1", p.c2)
-                tags_text.append(f"XM:i:{p.n_mm}")
-                tags_bin += tag_i("XM", p.n_mm)
-                tags_text.append(f"XO:i:{p.n_gapo}")
-                tags_bin += tag_i("XO", p.n_gapo)
-                tags_text.append(f"XG:i:{p.n_gapo + p.n_gape}")
-                tags_bin += tag_i("XG", p.n_gapo + p.n_gape)
+                        if txt:
+                            tags_text.append(f"X1:i:{p.c2}")
+                        else:
+                            tags_bin += tag_i("X1", p.c2)
+                if txt:
+                    tags_text.append(f"XM:i:{p.n_mm}")
+                else:
+                    tags_bin += tag_i("XM", p.n_mm)
+                if txt:
+                    tags_text.append(f"XO:i:{p.n_gapo}")
+                else:
+                    tags_bin += tag_i("XO", p.n_gapo)
+                if txt:
+                    tags_text.append(f"XG:i:{p.n_gapo + p.n_gape}")
+                else:
+                    tags_bin += tag_i("XG", p.n_gapo + p.n_gape)
                 if p.md:
-                    tags_text.append(f"MD:Z:{p.md}")
-                    tags_bin += tag_Z("MD", p.md)
+                    if txt:
+                        tags_text.append(f"MD:Z:{p.md}")
+                    else:
+                        tags_bin += tag_Z("MD", p.md)
                 if p.multi:
                     xa = []
                     for q in p.multi:
@@ -193,8 +216,10 @@ class SamWriter:
                         cg = cigar_string(q.cigar, p.len)
                         xa.append(f"{m_chrom2},{strand_c}{m_real2},{cg},"
                                   f"{q.gap + q.mm};")
-                    tags_text.append("XA:Z:" + "".join(xa))
-                    tags_bin += tag_Z("XA", "".join(xa))
+                    if txt:
+                        tags_text.append("XA:Z:" + "".join(xa))
+                    else:
+                        tags_bin += tag_Z("XA", "".join(xa))
             return (p.name, flag, rname, pos_out, p.mapQ, cigar, rnext, pnext,
                     tlen, seq, qual, tags_text, tags_bin)
 
@@ -203,8 +228,9 @@ class SamWriter:
         if mate is not None and mate.type == BWA_TYPE_NO_MATCH:
             flag |= SAM_FMU
         s = p.rseq if p.strand else p.seq
-        seq = "".join("ACGTN"[c] for c in s[: p.len])
-        qual = ("".join(chr(q) for q in (p.qual[::-1] if p.strand else p.qual))
+        seq = _FWD_MAP[np.asarray(s[: p.len])].tobytes().decode("ascii")
+        qual = (np.asarray(p.qual[::-1] if p.strand else p.qual)
+                .tobytes().decode("ascii")
                 if p.qual is not None else "*")
         return (p.name, flag, "*", 0, 0, "*", "*", 0, 0, seq, qual,
                 tags_text, tags_bin)
