@@ -27,6 +27,8 @@ def run_popcon(argv: list[str]) -> int:
     pl.group("Model Selection Options")
     pl.add("WithinAncestry", False, "same-population contamination model")
     pl.add("DisableSanityCheck", False, "disable marker sanity check")
+    pl.add("DisableBAQ", False, "disable BAQ realignment on BAM input "
+           "(the reference's mpileup always applies it)")
     pl.add("NumPC", 4, "number of PCs for AF inference")
     pl.add("FixPC", "Empty", "fixed PCs (PC1:PC2:...)")
     pl.add("FixAlpha", -1.0, "fixed contamination alpha")
@@ -109,8 +111,17 @@ def run_popcon(argv: list[str]) -> int:
                 s = ref.fetch("chr" + chrom, pos, pos)
             return s if s else None
 
+        def fetch_range(chrom, start0, end0):
+            # 0-based half-open window for BAQ; clamped at contig ends
+            s = ref.fetch(chrom, start0 + 1, end0)
+            if s is None:
+                s = ref.fetch("chr" + chrom, start0 + 1, end0)
+            return s or ""
+
         est.viewer = pileup_from_bam(est.bed_vec, est.choose_bed,
-                                     pl["BamFile"], fetch)
+                                     pl["BamFile"], fetch,
+                                     ref_range_fetch=fetch_range,
+                                     baq=not pl["DisableBAQ"])
     else:
         est.viewer = read_pileup_file(est.choose_bed, pl["PileupFile"])
         est.viewer.is_pileup_input = True

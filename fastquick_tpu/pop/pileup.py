@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..io.bam import BamReader
 
 # BAM flags
@@ -94,17 +96,36 @@ def read_pileup_file(bed_table: dict[str, dict[int, tuple[str, str]]],
     return d
 
 
+_NT4 = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _NT4[_c] = _i
+    _NT4[_c | 0x20] = _i
+
+
 def pileup_from_bam(bed_vec: list[tuple[str, int, int]],
                     bed_table: dict[str, dict[int, tuple[str, str]]],
-                    bam_path: str, ref_fetch) -> PileupData:
+                    bam_path: str, ref_fetch,
+                    ref_range_fetch=None, baq: bool = True) -> PileupData:
     """mpileup-lite over marker positions of a (sorted or unsorted) BAM.
 
     ref_fetch(chrom, pos) -> ref base (for '.'/',' symbols), or None.
+    ref_range_fetch(chrom, start0, end0) -> ref string for BAQ windows.
+
+    Mirrors the reference's pileup configuration (SimplePileupViewer.cpp
+    :688 MPLP_REALN | MPLP_SMART_OVERLAPS): when a reference is
+    available, every read gets extended-BAQ quality capping at read
+    time (bam_md.c:212, flag=3), and overlapping proper-pair mates get
+    the htslib quality tweak at push time.  Base qualities are read at
+    serialization so tweaks from later-arriving mates apply.
     """
+    from .baq import baq_realign, tweak_overlap_quality
+
     d = PileupData()
     wanted: dict[str, set[int]] = {}
     for chrom, beg, end in bed_vec:
         wanted.setdefault(chrom, set()).add(end)  # end is the 1-based pos
+    wanted_sorted = {c: np.array(sorted(s), dtype=np.int64)
+                     for c, s in wanted.items()}
 
     reader = BamReader(bam_path)
     # sample name from @RG SM:
@@ -113,7 +134,11 @@ def pileup_from_bam(bed_vec: list[tuple[str, int, int]],
             d.seq_sm = line.split("SM:")[1].split("\t")[0]
             break
     gi = 0
-    acc: dict[tuple[str, int], tuple[list[str], list[int]]] = {}
+    # acc holds (record, query_index) refs; quals are resolved after all
+    # overlap tweaks have run
+    acc: dict[tuple[str, int], list[tuple[dict, int, str]]] = {}
+    overlaps: dict[tuple[str, str], dict] = {}
+    do_baq = baq and ref_range_fetch is not None
     for rec in reader:
         flag = rec["flag"]
         if flag & (BAM_FUNMAP | BAM_FSECONDARY | BAM_FQCFAIL | BAM_FDUP):
@@ -129,6 +154,40 @@ def pileup_from_bam(bed_vec: list[tuple[str, int, int]],
             continue
         pos = rec["pos"]  # 0-based
         cigar = rec["cigar"] or [("M", len(rec["seq"]))]
+        # BED-overlap read filter (SimplePileupViewer.cpp:226-227): a
+        # read covering no marker is never pushed -- so it neither
+        # contributes bases nor overlap-tweaks its mate
+        ref_span = sum(ln for op, ln in cigar if op in ("M", "=", "X",
+                                                        "D", "N"))
+        ws = wanted_sorted[chrom]
+        j = int(np.searchsorted(ws, pos + 1))
+        if j >= len(ws) or ws[j] > pos + ref_span:
+            continue
+        qarr = np.frombuffer(rec["qual"], dtype=np.uint8).astype(np.int64)
+        rec["qarr"] = qarr
+        rec["cigar"] = cigar
+        if do_baq and len(qarr):
+            codes = _NT4[np.frombuffer(rec["seq"].encode("ascii"),
+                                       dtype=np.uint8)]
+
+            def fetch_codes(s0, e0, _c=chrom):
+                s = ref_range_fetch(_c, s0, e0)
+                out = _NT4[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
+                return out
+
+            nq = baq_realign(pos, cigar, codes, qarr, fetch_codes)
+            if nq is not None:
+                rec["qarr"] = qarr = np.asarray(nq, dtype=np.int64)
+        # overlap tracking (htslib overlap_push gates: proper pair, mate
+        # mapped, |isize| < 2*l_qseq)
+        if (flag & 2) and not (flag & 8) and rec["seq"] \
+                and abs(rec["tlen"]) < 2 * len(rec["seq"]):
+            okey = (chrom, rec["qname"])
+            first = overlaps.pop(okey, None)
+            if first is not None:
+                tweak_overlap_quality(first, rec)
+            else:
+                overlaps[okey] = rec
         qpos = 0
         rpos = pos
         reverse = bool(flag & 16)
@@ -137,20 +196,14 @@ def pileup_from_bam(bed_vec: list[tuple[str, int, int]],
                 for k in range(ln):
                     p1 = rpos + k + 1  # 1-based
                     if p1 in wanted[chrom]:
-                        q = rec["qual"][qpos + k] if qpos + k < len(rec["qual"]) else 0
-                        if q < MIN_BASEQ:
-                            continue
                         base = rec["seq"][qpos + k]
                         ref = ref_fetch(chrom, p1) if ref_fetch else None
                         if ref is not None and base.upper() == ref.upper():
                             sym = "," if reverse else "."
                         else:
                             sym = base.lower() if reverse else base.upper()
-                        key = (chrom, p1)
-                        if key not in acc:
-                            acc[key] = ([], [])
-                        acc[key][0].append(sym)
-                        acc[key][1].append(min(q + 33, 126))
+                        acc.setdefault((chrom, p1), []).append(
+                            (rec, qpos + k, sym))
                 qpos += ln
                 rpos += ln
             elif op in ("I", "S"):
@@ -159,12 +212,22 @@ def pileup_from_bam(bed_vec: list[tuple[str, int, int]],
                 rpos += ln
             elif op == "H":
                 pass
-    # serialize in bed order
+    # serialize in bed order; the base-quality floor applies to the
+    # post-BAQ, post-tweak quality (as in the reference's emit filter)
     for chrom, beg, end in bed_vec:
         key = (chrom, end)
         if key not in acc:
             continue
-        bases, quals = acc[key]
+        bases: list[str] = []
+        quals: list[int] = []
+        for rec, qi, sym in acc[key]:
+            q = int(rec["qarr"][qi]) if qi < len(rec["qarr"]) else 0
+            if q < MIN_BASEQ:
+                continue
+            bases.append(sym)
+            quals.append(min(q + 33, 126))
+        if not bases:
+            continue
         ci = d.pos_index.setdefault(chrom, {})
         if end in ci:
             continue
