@@ -67,7 +67,8 @@ READ_BUFFER_SIZE = 0x40000
 
 class PairEndMapper:
     def __init__(self, idx: ReducedIndex, engine, opt: GapOpt, popt: PeOpt,
-                 collector: StatCollector, sam: SamWriter, isize_out):
+                 collector: StatCollector, sam: SamWriter, isize_out,
+                 device_filter: bool = False):
         self.idx = idx
         self.engine = engine
         self.opt = opt
@@ -77,20 +78,61 @@ class PairEndMapper:
         self.isize_out = isize_out
         self.rng = Rand48(11)  # srand48(bns->seed), BwtMapper.cpp:1427
         self.g_hash: dict[int, list[int]] = {}  # SA-interval position cache
+        self.device_filter = device_filter and idx.kmer.thresh != 0
+        self._dev_bitmaps = None
 
     def _open_reader(self, path: str):
         """Native C++ loader fast path (parse+trim+filter); Python
-        fallback (also used when downsampling needs the seeded RNG)."""
+        fallback (also used when downsampling needs the seeded RNG).
+        With --device_filter, the k-mer gate moves to the accelerator
+        (ops/kmer.filter_reads over HBM-resident bitmaps), so the reader
+        runs unfiltered."""
         opt = self.opt
+        kmer = None if self.device_filter else self.idx.kmer
+        thresh = 0 if self.device_filter else self.idx.kmer.thresh
         if opt.frac >= 1.0:
             try:
                 from .seqs import NativeFastqReader
 
-                return NativeFastqReader(path, self.idx.kmer, opt.trim_qual,
-                                         self.idx.kmer.thresh), True
+                return NativeFastqReader(path, kmer, opt.trim_qual,
+                                         thresh), True
             except Exception:
                 pass
         return FastqReader(path), False
+
+    def _apply_device_filter(self, batch: list[Read]) -> None:
+        """Run the 6-projection k-mer gate on device for a whole batch
+        (result-identical to the host filter -- tests/test_ops_kmer) and
+        restore the reader's filtered-read layout (forward codes)."""
+        if not batch:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.kmer import filter_reads
+
+        if self._dev_bitmaps is None:
+            self._dev_bitmaps = jnp.asarray(self.idx.kmer.bitmaps_uint32())
+            # one compiled executable; eager per-op dispatch with a 3 GiB
+            # operand is pathologically slow on some backends
+            self._dev_filter_fn = jax.jit(filter_reads,
+                                          static_argnames=("thresh",))
+        L = max(p.len for p in batch)
+        seqs = np.zeros((len(batch), L), dtype=np.uint8)
+        lens = np.zeros(len(batch), dtype=np.int32)
+        for i, p in enumerate(batch):
+            seqs[i, :p.len] = p.seq[:p.len][::-1]  # back to forward codes
+            lens[i] = p.len
+        keep = np.asarray(self._dev_filter_fn(self._dev_bitmaps,
+                                              jnp.asarray(seqs),
+                                              jnp.asarray(lens),
+                                              thresh=self.idx.kmer.thresh))
+        for i, p in enumerate(batch):
+            if not keep[i]:
+                p.filtered = True
+                # reader layout for filtered reads: full forward codes
+                p.seq = np.concatenate([p.seq[:p.len][::-1], p.seq[p.len:]])
+                p.rseq = None
 
     def _next_batch(self, reader, native: bool, batch_size: int,
                     round_no: int) -> list[Read]:
@@ -98,10 +140,16 @@ class PairEndMapper:
         from .opts import BWA_MODE_COMPREAD
 
         if native:
-            return reader.read_batch(batch_size,
-                                     bool(opt.mode & BWA_MODE_COMPREAD))
-        return read_batch(reader, self.idx.kmer, batch_size, opt.mode,
-                          opt.trim_qual, opt.frac, round_no)
+            batch = reader.read_batch(batch_size,
+                                      bool(opt.mode & BWA_MODE_COMPREAD))
+        else:
+            batch = read_batch(reader,
+                               None if self.device_filter else self.idx.kmer,
+                               batch_size, opt.mode, opt.trim_qual, opt.frac,
+                               round_no)
+        if self.device_filter:
+            self._apply_device_filter(batch)
+        return batch
 
     def run(self, fq1: str, fq2: str, fsc: FileStat,
             batch_size: int = READ_BUFFER_SIZE) -> None:
@@ -379,6 +427,8 @@ def run_align(argv: list[str]) -> int:
     pl.add("fq_list", "Empty", "Tab-delimited list of fastq files")
     pl.add("bam_in", "Empty", "Input bam file path")
     pl.add("sam_out", False, "Output SAM instead of BAM")
+    pl.add("device_filter", False, "run the k-mer read filter on the "
+           "accelerator (HBM-resident bitmaps) instead of the CPU")
     pl.add("out_prefix", "Empty", "Prefix of all the output files")
     pl.add("index_prefix", "Empty", "Input prefix of the index files")
     pl.group("Parameters for Alignment")
@@ -524,13 +574,15 @@ def run_align(argv: list[str]) -> int:
             notice("Processing Pair End mapping\t%s\t%s", fq1, fq2)
             fsc = FileStat(file_name1=fq1, file_name2=fq2)
             mapper = PairEndMapper(idx, engine, opt, popt, collector, sam,
-                                   isize_out)
+                                   isize_out,
+                                   device_filter=pl["device_filter"])
             mapper.run(fq1, fq2, fsc)
         else:
             notice("Processing Single End mapping\t%s", fq1)
             fsc = FileStat(file_name1=fq1, file_name2=fq1)
             mapper = SingleEndMapper(idx, engine, opt, popt, collector, sam,
-                                     isize_out)
+                                     isize_out,
+                                     device_filter=pl["device_filter"])
             mapper.run(fq1, "", fsc)
         collector.add_fsc(fsc)
         notice("%d sequences loaded, %d filtered, %d unmapped, %d retained",

@@ -254,23 +254,16 @@ class KmerFilter:
         return self._byte_bitmaps
 
     def bitmaps_uint32(self) -> np.ndarray:
-        """Dense (6, 2^27) uint32 bitmap array for device HBM (3 GiB)."""
-        from ..native import get_sw_lib
+        """Dense (6, 2^27) uint32 bitmap array for device HBM (3 GiB).
 
-        lib = get_sw_lib()
-        n_words = 1 << 27  # 2^32 bits / 32
-        out = np.zeros((N_TABLES, n_words), dtype=np.uint32)
-        for t in range(N_TABLES):
-            k = np.sort(self.keys[t]).astype(np.uint32, copy=False)
-            if lib is not None:
-                import ctypes
-
-                lib.set_bits32(out[t].ctypes.data_as(ctypes.c_void_p),
-                               k.ctypes.data_as(ctypes.c_void_p), len(k))
-            else:
-                np.bitwise_or.at(out[t], k >> 5,
-                                 np.uint32(1) << (k & 31).astype(np.uint32))
-        return out
+        The device word layout (bit k at word k>>5, bit k&31) is exactly
+        the little-endian uint32 VIEW of the byte layout (bit k at byte
+        k>>3, bit k&7): for k = 32w + r, the byte index within the word
+        is r>>3 and the in-byte bit r&7, and LE word bit = 8*(r>>3) +
+        (r&7) = r.  So this is a zero-build reinterpretation of
+        byte_bitmaps() (mmap'd from the rollhash cache when present)."""
+        rows = [np.asarray(b).view(np.uint32) for b in self.byte_bitmaps()]
+        return np.stack(rows)
 
     def save_npz(self, path: str) -> None:
         # uncompressed: the 32-bit hash keys are high-entropy (deflate

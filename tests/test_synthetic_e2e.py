@@ -88,9 +88,11 @@ def world(tmp_path_factory):
                 geno_a=geno_a, geno_b=geno_b, rng=rng)
 
 
-def simulate_fastqs(world, out1, out2, alpha=0.0, depth=12, seed=7):
+def simulate_fastqs(world, out1, out2, alpha=0.0, depth=12, seed=7,
+                    junk_frac=0.0):
     """PE reads covering each marker region; fraction alpha comes from
-    sample B (the 'contaminant'), rest from sample A."""
+    sample B (the 'contaminant'), rest from sample A.  junk_frac adds
+    that fraction of random-sequence pairs (k-mer-filter fodder)."""
     rng = np.random.default_rng(seed)
     gstr = world["gstr"]
     comp = str.maketrans("ACGT", "TGCA")
@@ -118,6 +120,14 @@ def simulate_fastqs(world, out1, out2, alpha=0.0, depth=12, seed=7):
                 f1.write(f"@sim{rid}/1\n{r1}\n+\n{q}\n")
                 f2.write(f"@sim{rid}/2\n{r2}\n+\n{q}\n")
                 rid += 1
+                if junk_frac and rng.random() < junk_frac:
+                    j1 = "".join("ACGT"[c] for c in
+                                 rng.integers(0, 4, READ_LEN))
+                    j2 = "".join("ACGT"[c] for c in
+                                 rng.integers(0, 4, READ_LEN))
+                    f1.write(f"@junk{rid}/1\n{j1}\n+\n{q}\n")
+                    f2.write(f"@junk{rid}/2\n{j2}\n+\n{q}\n")
+                    rid += 1
 
 
 @pytest.fixture(scope="module")
