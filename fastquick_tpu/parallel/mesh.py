@@ -33,6 +33,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(n_hosts: int, chips_per_host: int) -> Mesh:
+    """Multi-host mesh: ('host', 'chip').  Device order follows
+    jax.devices(), which enumerates per-process (per-host) devices
+    contiguously, so axis 'chip' rides ICI and axis 'host' rides DCN.
+    The QC workload is data-parallel with one psum of small accumulators
+    at the end, reduced hierarchically chip-axis (ICI) first, then
+    host-axis (DCN) -- see make_sharded_qc_step(axis=('host','chip'))."""
+    devs = jax.devices()[: n_hosts * chips_per_host]
+    return Mesh(np.array(devs).reshape(n_hosts, chips_per_host),
+                ("host", "chip"))
+
+
 def qc_step_local(words, occ, sa, L2, primary, n_text: int,
                   bitmaps, thresh: int,
                   seqs, rseqs, lens, quals):
@@ -68,21 +80,30 @@ def qc_step_local(words, occ, sa, L2, primary, n_text: int,
 
 
 def make_sharded_qc_step(mesh: Mesh, fm_arrays: dict, n_text: int,
-                         bitmaps=None, thresh: int = 3, axis: str = "dp"):
-    """Build the pjit-ed multi-chip QC step: reads sharded over `axis`,
-    index replicated, stats psum-merged."""
+                         bitmaps=None, thresh: int = 3,
+                         axis: str | tuple[str, ...] = "dp"):
+    """Build the pjit-ed multi-chip QC step: reads sharded over `axis`
+    (a mesh axis name or a tuple like ('host','chip')), index
+    replicated, stats psum-merged.  With a tuple, the reduction runs
+    innermost axis first (ICI) and the outer axis last (DCN)."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
     def step(words, occ, sa, L2, primary, seqs, rseqs, lens, quals):
         stats = qc_step_local(words, occ, sa, L2, primary, n_text,
                               bitmaps, thresh, seqs, rseqs, lens, quals)
-        return jax.tree.map(lambda x: jax.lax.psum(x, axis), stats)
+        for ax in reversed(axes):  # innermost (ICI) first, DCN last
+            stats = jax.tree.map(lambda x, _ax=ax: jax.lax.psum(x, _ax),
+                                 stats)
+        return stats
 
     from jax.experimental.shard_map import shard_map
 
+    shard_axes = axes if len(axes) > 1 else axes[0]
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
-                  P(axis, None), P(axis, None), P(axis), P(axis, None)),
+                  P(shard_axes, None), P(shard_axes, None), P(shard_axes),
+                  P(shard_axes, None)),
         out_specs=P(),
         check_rep=False)
 
