@@ -144,3 +144,30 @@ def test_md_cigar_roundtrip_against_text():
         assert ref_rec == want, (p.pos, p.cigar, md, ref_rec, want)
         checked += 1
     assert checked > 120
+
+
+def test_recover_refseq_explicit_cases():
+    """Explicit MD/CIGAR reconstruction cases in the categories the
+    reference's gtest covers (StatCollector RecoverRefseqByMDandCigar,
+    test/alltests.cpp:116-148): matches, substitutions, deletions,
+    insertions, soft clips, and combinations."""
+    from fastquick_tpu.stats.collector import recover_refseq_by_md_and_cigar
+
+    M, I, D, S = 0, 1, 2, 3
+    cases = [
+        ("ACGTACGT", "8", [(M, 8)], "ACGTACGT"),                # all match
+        ("ACGTACGT", "3C4", [(M, 8)], "ACGCACGT"),              # SNP
+        ("ACGTACGT", "0G3T3", [(M, 8)], "GCGTTCGT"),            # edge SNPs
+        ("ACGTAACGT", "4^TT5", [(M, 4), (D, 2), (M, 5)],
+         "ACGTTTAACGT"),                                        # deletion
+        ("ACGTTACGT", "8", [(M, 4), (I, 1), (M, 4)],
+         "ACGTACGT"),                                           # insertion
+        ("AAACGTACGT", "8", [(S, 2), (M, 8)], "ACGTACGT"),      # soft clip
+        ("ACGTACGTAA", "8", [(M, 8), (S, 2)], "ACGTACGT"),      # 3' clip
+        ("ACGTAACCGT", "4^TTT1C2", [(M, 4), (D, 3), (M, 2),
+                                    (I, 2), (M, 2)],
+         "ACGTTTTACGT"),                        # del + SNP + ins combo
+    ]
+    for seq, md, cig, want in cases:
+        got = recover_refseq_by_md_and_cigar(seq, md, cig)
+        assert got == want, (seq, md, cig, got, want)
