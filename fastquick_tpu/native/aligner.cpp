@@ -20,12 +20,22 @@ namespace {
 constexpr int OCC_BLOCK = 128;
 constexpr int WPB = 8;  // words per block
 
+// one cache line per 128-base block: checkpoint counts + packed bases
+// (bwa's interleaved bwt_t layout, libbwa/bwt.h:56-63 -- one memory
+// fetch per rank query instead of two)
+struct alignas(64) Block {
+  int32_t cnt[4];
+  uint32_t w[8];
+  int32_t pad[4];
+};
+
 struct Dir {
   const uint32_t *words;
   const int32_t *occ;  // (n_blocks+1) x 4
   const int32_t *sa;   // n+1
   int32_t L2[4];
   int32_t primary;
+  std::vector<Block> blocks;  // interleaved copy built at aln_create
 };
 
 struct Index {
@@ -35,40 +45,47 @@ struct Index {
 
 inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
 
-// count of base c in the first `prefix` bases of word w (big-endian 2-bit)
-inline int word_prefix_count(uint32_t w, int c, int prefix) {
-  static const uint32_t pats[4] = {0x00000000u, 0x55555555u, 0xAAAAAAAAu,
-                                   0xFFFFFFFFu};
-  uint32_t x = w ^ pats[c];
-  uint32_t y = x | (x >> 1);
-  uint32_t match = ~y & 0x55555555u;
-  uint32_t mask = prefix >= 16 ? 0xFFFFFFFFu
-                               : (prefix <= 0 ? 0u : (0xFFFFFFFFu << (32 - 2 * prefix)));
-  return popcount32(match & mask);
+
+// count of base c in the first `prefix` (<=32) bases of a 64-bit pack
+inline int pair_prefix_count(uint64_t w64, int c, int prefix) {
+  static const uint64_t pats[4] = {0x0000000000000000ull,
+                                   0x5555555555555555ull,
+                                   0xAAAAAAAAAAAAAAAAull,
+                                   0xFFFFFFFFFFFFFFFFull};
+  uint64_t x = w64 ^ pats[c];
+  uint64_t y = x | (x >> 1);
+  uint64_t match = ~y & 0x5555555555555555ull;
+  uint64_t mask = prefix >= 32
+                      ? 0xFFFFFFFFFFFFFFFFull
+                      : (prefix <= 0 ? 0ull
+                                     : (0xFFFFFFFFFFFFFFFFull
+                                        << (64 - 2 * prefix)));
+  return __builtin_popcountll(match & mask);
 }
 
-// occ over closed rows [0..k] for all four bases
+// occ over closed rows [0..k] for all four bases: one cache-line fetch
+// + 64-bit popcount rank, A-count derived from the total
 inline void occ4(const Dir &d, int64_t k, int64_t n, int32_t out[4]) {
   int64_t kk = k + 1;
   int64_t kp = kk - (kk > d.primary ? 1 : 0);
   if (kp < 0) kp = 0;
   if (kp > n) kp = n;
   int64_t block = kp / OCC_BLOCK;
-  int rem = (int)(kp - block * OCC_BLOCK);
-  const int32_t *ck = d.occ + block * 4;
-  int c0 = ck[0], c1 = ck[1], c2 = ck[2], c3 = ck[3];
-  const uint32_t *w = d.words + block * WPB;
-  for (int wi = 0; wi < WPB && rem > 0; ++wi, rem -= 16) {
-    int p = rem > 16 ? 16 : rem;
-    c0 += word_prefix_count(w[wi], 0, p);
-    c1 += word_prefix_count(w[wi], 1, p);
-    c2 += word_prefix_count(w[wi], 2, p);
-    c3 += word_prefix_count(w[wi], 3, p);
+  int rem0 = (int)(kp - block * OCC_BLOCK);
+  const Block &B = d.blocks[block];
+  int c1 = 0, c2 = 0, c3 = 0;
+  int rem = rem0;
+  for (int wi = 0; wi < WPB && rem > 0; wi += 2, rem -= 32) {
+    uint64_t w64 = ((uint64_t)B.w[wi] << 32) | B.w[wi + 1];
+    int p = rem > 32 ? 32 : rem;
+    c1 += pair_prefix_count(w64, 1, p);
+    c2 += pair_prefix_count(w64, 2, p);
+    c3 += pair_prefix_count(w64, 3, p);
   }
-  out[0] = c0;
-  out[1] = c1;
-  out[2] = c2;
-  out[3] = c3;
+  out[0] = B.cnt[0] + (rem0 - c1 - c2 - c3);
+  out[1] = B.cnt[1] + c1;
+  out[2] = B.cnt[2] + c2;
+  out[3] = B.cnt[3] + c3;
 }
 
 inline int32_t occ1(const Dir &d, int64_t k, int64_t n, int c) {
@@ -392,9 +409,19 @@ void *aln_create(const uint32_t *words_f, const int32_t *occ_f,
   Index *idx = new Index();
   idx->n = n;
   idx->dir[0] = Dir{words_f, occ_f, sa_f, {L2_f[0], L2_f[1], L2_f[2], L2_f[3]},
-                    primary_f};
+                    primary_f, {}};
   idx->dir[1] = Dir{words_r, occ_r, sa_r, {L2_r[0], L2_r[1], L2_r[2], L2_r[3]},
-                    primary_r};
+                    primary_r, {}};
+  int64_t n_blocks = n / OCC_BLOCK + 1;
+  for (int a = 0; a < 2; ++a) {
+    Dir &d = idx->dir[a];
+    d.blocks.resize(n_blocks + 1);
+    for (int64_t b = 0; b < n_blocks; ++b) {
+      Block &bl = d.blocks[b];
+      for (int c = 0; c < 4; ++c) bl.cnt[c] = d.occ[b * 4 + c];
+      for (int wi = 0; wi < WPB; ++wi) bl.w[wi] = d.words[b * WPB + wi];
+    }
+  }
   return idx;
 }
 
