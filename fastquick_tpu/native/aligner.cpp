@@ -88,10 +88,86 @@ inline void occ4(const Dir &d, int64_t k, int64_t n, int32_t out[4]) {
   out[3] = B.cnt[3] + c3;
 }
 
+// single-base rank: same block walk, one popcount per word pair
 inline int32_t occ1(const Dir &d, int64_t k, int64_t n, int c) {
-  int32_t o[4];
-  occ4(d, k, n, o);
-  return o[c];
+  int64_t kk = k + 1;
+  int64_t kp = kk - (kk > d.primary ? 1 : 0);
+  if (kp < 0) kp = 0;
+  if (kp > n) kp = n;
+  int64_t block = kp / OCC_BLOCK;
+  int rem = (int)(kp - block * OCC_BLOCK);
+  const Block &B = d.blocks[block];
+  int cnt = B.cnt[c];
+  if (c == 0) {
+    // A-count = prefix total - (C+G+T); count non-A directly instead
+    int rest = 0, r2 = rem;
+    for (int wi = 0; wi < WPB && r2 > 0; wi += 2, r2 -= 32) {
+      uint64_t w64 = ((uint64_t)B.w[wi] << 32) | B.w[wi + 1];
+      int p = r2 > 32 ? 32 : r2;
+      uint64_t y = w64 | (w64 >> 1);  // any set bit pair -> non-A
+      uint64_t mask = p >= 32 ? 0xFFFFFFFFFFFFFFFFull
+                              : (0xFFFFFFFFFFFFFFFFull << (64 - 2 * p));
+      rest += __builtin_popcountll(y & 0x5555555555555555ull & mask);
+    }
+    return cnt + rem - rest;
+  }
+  for (int wi = 0; wi < WPB && rem > 0; wi += 2, rem -= 32) {
+    uint64_t w64 = ((uint64_t)B.w[wi] << 32) | B.w[wi + 1];
+    int p = rem > 32 ? 32 : rem;
+    cnt += pair_prefix_count(w64, c, p);
+  }
+  return cnt;
+}
+
+// fused rank at two rows; when both land in one block (narrow interval,
+// the common case late in the search) the cache line and the shared
+// prefix are walked once (bwa bwt_2occ4, libbwa/bwt.h:185)
+inline void occ4x2(const Dir &d, int64_t k, int64_t l, int64_t n,
+                   int32_t ok[4], int32_t ol[4]) {
+  int64_t kk = k + 1, ll = l + 1;
+  int64_t kp = kk - (kk > d.primary ? 1 : 0);
+  int64_t lp = ll - (ll > d.primary ? 1 : 0);
+  if (kp < 0) kp = 0;
+  if (kp > n) kp = n;
+  if (lp < 0) lp = 0;
+  if (lp > n) lp = n;
+  if (kp / OCC_BLOCK != lp / OCC_BLOCK) {
+    occ4(d, k, n, ok);
+    occ4(d, l, n, ol);
+    return;
+  }
+  int64_t block = kp / OCC_BLOCK;
+  int remk = (int)(kp - block * OCC_BLOCK);
+  int reml = (int)(lp - block * OCC_BLOCK);
+  if (remk > reml) {  // k <= l normally, but stay safe
+    occ4(d, k, n, ok);
+    occ4(d, l, n, ol);
+    return;
+  }
+  const Block &B = d.blocks[block];
+  int k1 = 0, k2 = 0, k3 = 0, l1 = 0, l2 = 0, l3 = 0;
+  int rem = reml;
+  for (int wi = 0; wi < WPB && rem > 0; wi += 2, rem -= 32) {
+    uint64_t w64 = ((uint64_t)B.w[wi] << 32) | B.w[wi + 1];
+    int pl = rem > 32 ? 32 : rem;
+    int pk = remk - (reml - rem);  // k-prefix inside this pair
+    l1 += pair_prefix_count(w64, 1, pl);
+    l2 += pair_prefix_count(w64, 2, pl);
+    l3 += pair_prefix_count(w64, 3, pl);
+    if (pk > 0) {
+      k1 += pair_prefix_count(w64, 1, pk > 32 ? 32 : pk);
+      k2 += pair_prefix_count(w64, 2, pk > 32 ? 32 : pk);
+      k3 += pair_prefix_count(w64, 3, pk > 32 ? 32 : pk);
+    }
+  }
+  ok[0] = B.cnt[0] + (remk - k1 - k2 - k3);
+  ok[1] = B.cnt[1] + k1;
+  ok[2] = B.cnt[2] + k2;
+  ok[3] = B.cnt[3] + k3;
+  ol[0] = B.cnt[0] + (reml - l1 - l2 - l3);
+  ol[1] = B.cnt[1] + l1;
+  ol[2] = B.cnt[2] + l2;
+  ol[3] = B.cnt[3] + l3;
 }
 
 struct Entry {
@@ -317,8 +393,7 @@ int match_gap(const Index &idx, int len, const uint8_t *seqs[2], Width *w[2],
 
     --i;
     int32_t cnt_k[4], cnt_l[4];
-    occ4(d, (int64_t)k - 1, n, cnt_k);
-    occ4(d, l, n, cnt_l);
+    occ4x2(d, (int64_t)k - 1, l, n, cnt_k, cnt_l);
     int64_t occw = (int64_t)l - k + 1;
 
     bool allow_diff = true, allow_m = true;
