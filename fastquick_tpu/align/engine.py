@@ -89,15 +89,27 @@ class NativeEngine:
             int(max_gapo), opt.max_gape, opt.indel_end_skip, opt.max_del_occ,
             opt.max_entries, opt.max_top2, opt.seed_len, opt.max_seed_diff,
             out_n.ctypes.data_as(cp), out.ctypes.data_as(cp), self.OUT_CAP)
+        # gather all hit rows in one vectorized pass (per-read numpy
+        # slicing costs more than the hits themselves at ~1 hit/read)
+        counts = np.maximum(out_n, 0)
+        tot = int(counts.sum())
+        if tot:
+            b_rep = np.repeat(np.arange(B), counts)
+            within = (np.arange(tot)
+                      - np.repeat(np.cumsum(counts) - counts, counts))
+            rows = out[b_rep, within].tolist()
+        else:
+            rows = []
         redo = []
+        pos = 0
         for b, p in enumerate(todo):
-            if out_n[b] < 0:
+            nb = int(out_n[b])
+            if nb < 0:
                 redo.append(p)
                 continue
-            p.aln = [Aln(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
-                         int(r[4]), int(r[5]), int(r[6]))
-                     for r in out[b, : out_n[b]]]
-            p.n_aln = len(p.aln)
+            p.aln = [Aln(*rows[j]) for j in range(pos, pos + nb)]
+            pos += nb
+            p.n_aln = nb
         if redo:
             self._host.align_batch(redo, opt)
 

@@ -15,6 +15,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512VL__) && defined(__AVX512VPOPCNTDQ__)
+#include <immintrin.h>
+#define FQ_SIMD_RANK 1
+#endif
+
 namespace {
 
 constexpr int OCC_BLOCK = 128;
@@ -45,6 +50,79 @@ struct Index {
 
 inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
 
+#ifdef FQ_SIMD_RANK
+// prefix masks over a 128-base block as 8x uint32 lanes: entry p selects
+// the first p bases (2 bits each, high-first within each word)
+struct PrefixMaskTable {
+  alignas(32) uint32_t m[129][8];
+  PrefixMaskTable() {
+    for (int p = 0; p <= 128; ++p)
+      for (int wi = 0; wi < 8; ++wi) {
+        int pp = p - 16 * wi;
+        m[p][wi] = pp >= 16 ? 0xFFFFFFFFu
+                            : (pp <= 0 ? 0u : (0xFFFFFFFFu << (32 - 2 * pp)));
+      }
+  }
+};
+const PrefixMaskTable kPfx;
+
+inline int hsum256(__m256i v) {
+  __m128i s = _mm_add_epi32(_mm256_castsi256_si128(v),
+                            _mm256_extracti128_si256(v, 1));
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0x4E));
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0xB1));
+  return _mm_cvtsi128_si32(s);
+}
+
+// per-lane mask of positions whose 2-bit code equals c (works for A too)
+inline __m256i base_match(__m256i W, int c) {
+  static const uint32_t pats[4] = {0u, 0x55555555u, 0xAAAAAAAAu,
+                                   0xFFFFFFFFu};
+  __m256i X = _mm256_xor_si256(W, _mm256_set1_epi32(pats[c]));
+  __m256i Y = _mm256_or_si256(X, _mm256_srli_epi32(X, 1));
+  return _mm256_andnot_si256(Y, _mm256_set1_epi32(0x55555555));
+}
+
+inline int rank1_block(const Block &B, int rem, int c) {
+  __m256i W = _mm256_loadu_si256((const __m256i *)B.w);
+  __m256i M = _mm256_load_si256((const __m256i *)kPfx.m[rem]);
+  return hsum256(_mm256_popcnt_epi32(_mm256_and_si256(base_match(W, c), M)));
+}
+
+// C/G/T counts at one prefix; A derived from the total by callers
+inline void rank3_block(const Block &B, int rem, int out[3]) {
+  __m256i W = _mm256_loadu_si256((const __m256i *)B.w);
+  __m256i M = _mm256_load_si256((const __m256i *)kPfx.m[rem]);
+  for (int c = 1; c <= 3; ++c)
+    out[c - 1] = hsum256(
+        _mm256_popcnt_epi32(_mm256_and_si256(base_match(W, c), M)));
+}
+
+// C/G/T counts at two prefixes of the same block: the base-match masks
+// are shared, only the prefix masks differ
+inline void rank3x2_block(const Block &B, int remk, int reml, int outk[3],
+                          int outl[3]) {
+  __m256i W = _mm256_loadu_si256((const __m256i *)B.w);
+  __m256i Mk = _mm256_load_si256((const __m256i *)kPfx.m[remk]);
+  __m256i Ml = _mm256_load_si256((const __m256i *)kPfx.m[reml]);
+  for (int c = 1; c <= 3; ++c) {
+    __m256i Z = base_match(W, c);
+    outk[c - 1] = hsum256(_mm256_popcnt_epi32(_mm256_and_si256(Z, Mk)));
+    outl[c - 1] = hsum256(_mm256_popcnt_epi32(_mm256_and_si256(Z, Ml)));
+  }
+}
+
+inline void rank1x2_block(const Block &B, int remk, int reml, int c,
+                          int *outk, int *outl) {
+  __m256i W = _mm256_loadu_si256((const __m256i *)B.w);
+  __m256i Z = base_match(W, c);
+  __m256i Mk = _mm256_load_si256((const __m256i *)kPfx.m[remk]);
+  __m256i Ml = _mm256_load_si256((const __m256i *)kPfx.m[reml]);
+  *outk = hsum256(_mm256_popcnt_epi32(_mm256_and_si256(Z, Mk)));
+  *outl = hsum256(_mm256_popcnt_epi32(_mm256_and_si256(Z, Ml)));
+}
+#endif  // FQ_SIMD_RANK
+
 
 // count of base c in the first `prefix` (<=32) bases of a 64-bit pack
 inline int pair_prefix_count(uint64_t w64, int c, int prefix) {
@@ -73,6 +151,11 @@ inline void occ4(const Dir &d, int64_t k, int64_t n, int32_t out[4]) {
   int64_t block = kp / OCC_BLOCK;
   int rem0 = (int)(kp - block * OCC_BLOCK);
   const Block &B = d.blocks[block];
+#ifdef FQ_SIMD_RANK
+  int cgt[3];
+  rank3_block(B, rem0, cgt);
+  int c1 = cgt[0], c2 = cgt[1], c3 = cgt[2];
+#else
   int c1 = 0, c2 = 0, c3 = 0;
   int rem = rem0;
   for (int wi = 0; wi < WPB && rem > 0; wi += 2, rem -= 32) {
@@ -82,6 +165,7 @@ inline void occ4(const Dir &d, int64_t k, int64_t n, int32_t out[4]) {
     c2 += pair_prefix_count(w64, 2, p);
     c3 += pair_prefix_count(w64, 3, p);
   }
+#endif
   out[0] = B.cnt[0] + (rem0 - c1 - c2 - c3);
   out[1] = B.cnt[1] + c1;
   out[2] = B.cnt[2] + c2;
@@ -98,6 +182,9 @@ inline int32_t occ1(const Dir &d, int64_t k, int64_t n, int c) {
   int rem = (int)(kp - block * OCC_BLOCK);
   const Block &B = d.blocks[block];
   int cnt = B.cnt[c];
+#ifdef FQ_SIMD_RANK
+  return cnt + rank1_block(B, rem, c);
+#endif
   if (c == 0) {
     // A-count = prefix total - (C+G+T); count non-A directly instead
     int rest = 0, r2 = rem;
@@ -117,6 +204,70 @@ inline int32_t occ1(const Dir &d, int64_t k, int64_t n, int c) {
     cnt += pair_prefix_count(w64, c, p);
   }
   return cnt;
+}
+
+// 2-bit code at (primary-adjusted) BWT position pos
+inline int bwt_char(const Dir &d, int64_t pos) {
+  const Block &B = d.blocks[pos / OCC_BLOCK];
+  int rem = (int)(pos % OCC_BLOCK);
+  return (B.w[rem / 16] >> (30 - 2 * (rem % 16))) & 3;
+}
+
+inline uint64_t prefix_mask(int p) {
+  return p >= 32 ? 0xFFFFFFFFFFFFFFFFull
+                 : (0xFFFFFFFFFFFFFFFFull << (64 - 2 * p));
+}
+
+// fused single-base rank at two rows sharing one block fetch (the narrow
+// phase of width calc / exact extension, where k and l stay together)
+inline void occ1x2(const Dir &d, int64_t k, int64_t l, int64_t n, int c,
+                   int32_t *ok, int32_t *ol) {
+  int64_t kk = k + 1, ll = l + 1;
+  int64_t kp = kk - (kk > d.primary ? 1 : 0);
+  int64_t lp = ll - (ll > d.primary ? 1 : 0);
+  if (kp < 0) kp = 0;
+  if (kp > n) kp = n;
+  if (lp < 0) lp = 0;
+  if (lp > n) lp = n;
+  if (kp / OCC_BLOCK != lp / OCC_BLOCK || kp > lp) {
+    *ok = occ1(d, k, n, c);
+    *ol = occ1(d, l, n, c);
+    return;
+  }
+  int64_t block = kp / OCC_BLOCK;
+  int remk = (int)(kp - block * OCC_BLOCK);
+  int reml = (int)(lp - block * OCC_BLOCK);
+  const Block &B = d.blocks[block];
+#ifdef FQ_SIMD_RANK
+  int ck, cl;
+  rank1x2_block(B, remk, reml, c, &ck, &cl);
+  *ok = B.cnt[c] + ck;
+  *ol = B.cnt[c] + cl;
+#else
+  int ck = 0, cl = 0;
+  int rem = reml;
+  for (int wi = 0; wi < WPB && rem > 0; wi += 2, rem -= 32) {
+    uint64_t w64 = ((uint64_t)B.w[wi] << 32) | B.w[wi + 1];
+    int pl = rem > 32 ? 32 : rem;
+    int pk = remk - (reml - rem);
+    if (c == 0) {  // count non-A, derive A from prefix length
+      uint64_t y = (w64 | (w64 >> 1)) & 0x5555555555555555ull;
+      cl += __builtin_popcountll(y & prefix_mask(pl));
+      if (pk > 0)
+        ck += __builtin_popcountll(y & prefix_mask(pk > 32 ? 32 : pk));
+    } else {
+      cl += pair_prefix_count(w64, c, pl);
+      if (pk > 0) ck += pair_prefix_count(w64, c, pk > 32 ? 32 : pk);
+    }
+  }
+  if (c == 0) {
+    *ok = B.cnt[0] + remk - ck;
+    *ol = B.cnt[0] + reml - cl;
+  } else {
+    *ok = B.cnt[c] + ck;
+    *ol = B.cnt[c] + cl;
+  }
+#endif
 }
 
 // fused rank at two rows; when both land in one block (narrow interval,
@@ -145,6 +296,12 @@ inline void occ4x2(const Dir &d, int64_t k, int64_t l, int64_t n,
     return;
   }
   const Block &B = d.blocks[block];
+#ifdef FQ_SIMD_RANK
+  int kc[3], lc[3];
+  rank3x2_block(B, remk, reml, kc, lc);
+  int k1 = kc[0], k2 = kc[1], k3 = kc[2];
+  int l1 = lc[0], l2 = lc[1], l3 = lc[2];
+#else
   int k1 = 0, k2 = 0, k3 = 0, l1 = 0, l2 = 0, l3 = 0;
   int rem = reml;
   for (int wi = 0; wi < WPB && rem > 0; wi += 2, rem -= 32) {
@@ -160,6 +317,7 @@ inline void occ4x2(const Dir &d, int64_t k, int64_t l, int64_t n,
       k3 += pair_prefix_count(w64, 3, pk > 32 ? 32 : pk);
     }
   }
+#endif
   ok[0] = B.cnt[0] + (remk - k1 - k2 - k3);
   ok[1] = B.cnt[1] + k1;
   ok[2] = B.cnt[2] + k2;
@@ -231,6 +389,58 @@ struct Width {
   int32_t w, bid;
 };
 
+// one backward step of the width walk; returns the new interval
+inline void width_step(const Dir &d, int64_t n, int c, int64_t &k,
+                       int64_t &l) {
+  if (c < 4) {
+    if (k == l) {
+      if (k != d.primary && bwt_char(d, k - (k > d.primary)) == c) {
+        k = l = d.L2[c] + occ1(d, k - 1, n, c) + 1;
+      } else {
+        k = 1;
+        l = 0;  // dead -> reset by caller
+      }
+    } else {
+      int32_t ok, ol;
+      occ1x2(d, k - 1, l, n, c, &ok, &ol);
+      k = d.L2[c] + ok + 1;
+      l = d.L2[c] + ol;
+    }
+  }
+}
+
+// both directions' width walks in lockstep: the two dependent load
+// chains are independent, so interleaving them doubles the memory-level
+// parallelism of this latency-bound walk
+void cal_width2(const Dir &d0, const Dir &d1, int64_t n, int len,
+                const uint8_t *s0, const uint8_t *s1, Width *w0, Width *w1) {
+  int64_t k0 = 0, l0 = n, k1 = 0, l1 = n;
+  int bid0 = 0, bid1 = 0;
+  for (int i = 0; i < len; ++i) {
+    int c0 = s0[i], c1 = s1[i];
+    width_step(d0, n, c0, k0, l0);
+    width_step(d1, n, c1, k1, l1);
+    if (k0 > l0 || c0 > 3) {
+      k0 = 0;
+      l0 = n;
+      ++bid0;
+    }
+    if (k1 > l1 || c1 > 3) {
+      k1 = 0;
+      l1 = n;
+      ++bid1;
+    }
+    w0[i].w = (int32_t)(l0 - k0 + 1);
+    w0[i].bid = bid0;
+    w1[i].w = (int32_t)(l1 - k1 + 1);
+    w1[i].bid = bid1;
+  }
+  w0[len].w = 0;
+  w0[len].bid = ++bid0;
+  w1[len].w = 0;
+  w1[len].bid = ++bid1;
+}
+
 void cal_width(const Dir &d, int64_t n, int len, const uint8_t *s,
                Width *width) {
   int64_t k = 0, l = n;
@@ -238,10 +448,20 @@ void cal_width(const Dir &d, int64_t n, int len, const uint8_t *s,
   for (int i = 0; i < len; ++i) {
     int c = s[i];
     if (c < 4) {
-      int32_t ok = occ1(d, k - 1, n, c);
-      int32_t ol = occ1(d, l, n, c);
-      k = d.L2[c] + ok + 1;
-      l = d.L2[c] + ol;
+      if (k == l) {
+        // single row: it extends iff its own BWT char is c
+        if (k != d.primary && bwt_char(d, k - (k > d.primary)) == c) {
+          k = l = d.L2[c] + occ1(d, k - 1, n, c) + 1;
+        } else {
+          k = 1;
+          l = 0;  // dead -> reset below
+        }
+      } else {
+        int32_t ok, ol;
+        occ1x2(d, k - 1, l, n, c, &ok, &ol);
+        k = d.L2[c] + ok + 1;
+        l = d.L2[c] + ol;
+      }
     }
     if (k > l || c > 3) {
       k = 0;
@@ -261,8 +481,14 @@ bool match_exact_alt(const Dir &d, int64_t n, int len, const uint8_t *s,
   for (int i = len - 1; i >= 0; --i) {
     int c = s[i];
     if (c > 3) return false;
-    int32_t ok = occ1(d, k - 1, n, c);
-    int32_t ol = occ1(d, l, n, c);
+    if (k == l) {
+      if (k == d.primary || bwt_char(d, k - (k > d.primary)) != c)
+        return false;
+      k = l = d.L2[c] + occ1(d, k - 1, n, c) + 1;
+      continue;
+    }
+    int32_t ok, ol;
+    occ1x2(d, k - 1, l, n, c, &ok, &ol);
     k = d.L2[c] + ok + 1;
     l = d.L2[c] + ol;
     if (k > l) return false;
@@ -393,7 +619,21 @@ int match_gap(const Index &idx, int len, const uint8_t *seqs[2], Width *w[2],
 
     --i;
     int32_t cnt_k[4], cnt_l[4];
-    occ4x2(d, (int64_t)k - 1, l, n, cnt_k, cnt_l);
+    if (k == l) {
+      // single row: only its own BWT char survives any extension; fill
+      // the count arrays so the push loops below see dead intervals for
+      // the other three bases (kj = lj + 1)
+      cnt_k[0] = cnt_k[1] = cnt_k[2] = cnt_k[3] = 1;
+      cnt_l[0] = cnt_l[1] = cnt_l[2] = cnt_l[3] = 0;
+      if (k != d.primary) {
+        int b = bwt_char(d, (int64_t)k - (k > d.primary));
+        int32_t ob = occ1(d, (int64_t)k - 1, n, b);
+        cnt_k[b] = ob;
+        cnt_l[b] = ob + 1;
+      }
+    } else {
+      occ4x2(d, (int64_t)k - 1, l, n, cnt_k, cnt_l);
+    }
     int64_t occw = (int64_t)l - k + 1;
 
     bool allow_diff = true, allow_m = true;
@@ -526,16 +766,15 @@ void aln_batch_range(Index *idxp, const uint8_t *seqs, const int32_t *lens,
     const uint8_t *ss[2] = {s0, s1};
     opt.max_diff = max_diffs[b];
     opt.seed_len = seed_len < len ? seed_len : 0x7FFFFFFF;
-    cal_width(idx.dir[0], idx.n, len, s0, w0.data());
-    cal_width(idx.dir[1], idx.n, len, s1, w1.data());
+    cal_width2(idx.dir[0], idx.dir[1], idx.n, len, s0, s1, w0.data(),
+               w1.data());
     Width *ws[2] = {w0.data(), w1.data()};
     bool use_seed = len > seed_len;
     Width *sws[2] = {sw0.data(), sw1.data()};
     if (use_seed) {
-      cal_width(idx.dir[0], idx.n, seed_len, s0 + (len - seed_len),
-                sw0.data());
-      cal_width(idx.dir[1], idx.n, seed_len, s1 + (len - seed_len),
-                sw1.data());
+      cal_width2(idx.dir[0], idx.dir[1], idx.n, seed_len,
+                 s0 + (len - seed_len), s1 + (len - seed_len), sw0.data(),
+                 sw1.data());
     }
     int nal = match_gap(idx, len, ss, ws, sws, use_seed, opt, stack,
                         out_alns + (size_t)b * out_cap * 7, out_cap);
