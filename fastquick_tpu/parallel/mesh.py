@@ -26,6 +26,18 @@ from ..ops.kmer import filter_reads
 from ..ops.pileup import depth_pileup
 
 
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """jax.shard_map across API revisions (check_rep -> check_vma)."""
+    from jax import shard_map
+
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -96,16 +108,13 @@ def make_sharded_qc_step(mesh: Mesh, fm_arrays: dict, n_text: int,
                                  stats)
         return stats
 
-    from jax.experimental.shard_map import shard_map
-
     shard_axes = axes if len(axes) > 1 else axes[0]
-    sharded = shard_map(
+    sharded = shard_map_compat(
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
                   P(shard_axes, None), P(shard_axes, None), P(shard_axes),
                   P(shard_axes, None)),
-        out_specs=P(),
-        check_rep=False)
+        out_specs=P())
 
     @jax.jit
     def run(seqs, rseqs, lens, quals):

@@ -34,6 +34,8 @@ def run_popcon(argv: list[str]) -> int:
     pl.add("FixAlpha", -1.0, "fixed contamination alpha")
     pl.add("KnownAF", "Empty", "known allele frequency file")
     pl.add("NumThread", 4, "likelihood threads")
+    pl.add("DeviceLLK", False, "evaluate the mixture likelihood on the "
+           "accelerator (jit; marker-sharded over all local devices)")
     pl.add("Seed", 12345, "random number seed")
     pl.add("Epsilon", 1e-8, "minimization convergence threshold")
     pl.add("OutputPileup", False, "output temp pileup file")
@@ -77,6 +79,14 @@ def run_popcon(argv: list[str]) -> int:
     est = ContaminationEstimator(num_pc=pl["NumPC"], num_thread=pl["NumThread"],
                                  epsilon=pl["Epsilon"])
     est.verbose = pl["Verbose"]
+    est.use_device = pl["DeviceLLK"]
+    if est.use_device:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            est.device_mesh = make_mesh()
     est.is_heter = not pl["WithinAncestry"]
     est.is_sanity_check_disabled = pl["DisableSanityCheck"]
     est.read_choose_bed(bed_path)

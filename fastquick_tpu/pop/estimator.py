@@ -155,6 +155,11 @@ class ContaminationEstimator:
     is_sanity_check_disabled: bool = False
     verbose: bool = False
     alpha: float = 0.5
+    # opt-in jit/TPU likelihood (pop/device_llk.py); numpy is the
+    # bit-parity default.  device_mesh shards the marker axis (+psum).
+    use_device: bool = False
+    device_mesh: object = None
+    device_axis: object = "dp"
 
     UD: np.ndarray | None = None  # (markers, num_pc)
     means: np.ndarray | None = None  # (markers,)
@@ -303,9 +308,19 @@ class ContaminationEstimator:
         cls = np.repeat(np.arange(N_CLASS), N_QBINS)
         self._lk_err = LK_ERR[:, cls]  # (3 genotypes, bins)
         self._lk_noerr = LK_NOERR[:, cls]
+        self._device_llk = None
+        if self.use_device:
+            from .device_llk import DeviceLLK
+
+            self._device_llk = DeviceLLK(
+                self._counts, self._UD_act, self._means_act,
+                known_af=(self._known_af_act if self.is_af_known else None),
+                mesh=self.device_mesh, axis=self.device_axis)
 
     def compute_mix_llks(self, pc1, pc2, alpha: float) -> float:
         """ComputeMixLLKs (h:206-281), counts-factorized."""
+        if self._device_llk is not None:
+            return self._device_llk(pc1, pc2, alpha)
         pc1 = np.asarray(pc1, dtype=np.float64)
         pc2 = np.asarray(pc2, dtype=np.float64)
         if self.is_af_known:
