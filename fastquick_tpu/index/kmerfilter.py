@@ -92,11 +92,24 @@ def register_stream_vec(codes: np.ndarray) -> np.ndarray:
 
 
 class KmerFilterBuilder:
-    """Accumulates distinct projected kmer values per table."""
+    """Accumulates raw 64-bit kmers; projects + dedupes at finalize.
+
+    (Deferring the 6-way projection/dedupe to one vectorized
+    np.unique per table replaces ~25k Python set insertions per contig;
+    10k-marker index build: minutes -> seconds.)"""
+
+    #: raw-kmer buffer compaction threshold (memory cap ~8 x 8B = 64 MB)
+    _COMPACT_AT = 8_000_000
 
     def __init__(self, thresh: int = DEFAULT_THRESH):
         self.thresh = thresh
-        self._sets: list[set[int]] = [set() for _ in range(N_TABLES)]
+        self._chunks: list[np.ndarray] = []
+        self._n_pending = 0
+
+    def _compact(self) -> None:
+        if len(self._chunks) > 1:
+            self._chunks = [np.unique(np.concatenate(self._chunks))]
+        self._n_pending = 0  # counts entries appended since last compact
 
     def add_seq(self, seq: str, alleles: tuple[str, str]) -> None:
         """AddSeq2Hash for one contig: forward strand then reverse
@@ -141,11 +154,16 @@ class KmerFilterBuilder:
         if not inserted:
             return
         kmers = np.concatenate(inserted)
-        for t in range(N_TABLES):
-            self._sets[t].update(kmer_shrinkage(kmers, t).tolist())
+        self._chunks.append(kmers)
+        self._n_pending += len(kmers)
+        if self._n_pending >= self._COMPACT_AT:
+            self._compact()
 
     def finalize(self) -> "KmerFilter":
-        keys = [np.array(sorted(s), dtype=np.uint32) for s in self._sets]
+        self._compact()
+        all_k = (self._chunks[0] if self._chunks
+                 else np.zeros(0, dtype=_U64))
+        keys = [np.unique(kmer_shrinkage(all_k, t)) for t in range(N_TABLES)]
         return KmerFilter(keys=keys, thresh=self.thresh)
 
 
