@@ -149,16 +149,21 @@ class NativeFastqReader:
             self._bitmaps_keepalive = bitmaps
             self.thresh = thresh
 
+    _scratch = None  # reused across batches: fresh 600MB of anonymous
+    # memory per batch costs more in page faults than the decode itself
+
     def read_batch(self, n_needed: int, is_comp: bool) -> list[Read]:
         import ctypes
 
         ML, NS_ = self.MAX_LEN, self.NAME_STRIDE
-        seqs = np.empty((n_needed, ML), dtype=np.uint8)
-        quals = np.empty((n_needed, ML), dtype=np.uint8)
-        lens = np.empty(n_needed, dtype=np.int32)
-        full_lens = np.empty(n_needed, dtype=np.int32)
-        filt = np.empty(n_needed, dtype=np.uint8)
-        names = ctypes.create_string_buffer(n_needed * NS_)
+        if self._scratch is None or self._scratch[0].shape[0] < n_needed:
+            self._scratch = (np.empty((n_needed, ML), dtype=np.uint8),
+                             np.empty((n_needed, ML), dtype=np.uint8),
+                             np.empty(n_needed, dtype=np.int32),
+                             np.empty(n_needed, dtype=np.int32),
+                             np.empty(n_needed, dtype=np.uint8),
+                             ctypes.create_string_buffer(n_needed * NS_))
+        seqs, quals, lens, full_lens, filt, names = self._scratch
         n = self._lib.fq_read_batch(
             self._h, n_needed, ML, self.trim_qual,
             self._bitmap_ptrs, self.thresh,
@@ -187,11 +192,13 @@ class NativeFastqReader:
                 rvc = rev
             qrows = np.ascontiguousarray(quals[:n, :L])
             has_q = qrows.max(axis=1) > 0
+            find_nul = raw.index
             for i in range(n):
                 p = Read()
                 p.full_len = p.clip_len = p.len = L
                 p.qual = qrows[i] if has_q[i] else None
-                p.name = raw[i * NS_: (i + 1) * NS_].split(b"\0")[0].decode()
+                base = i * NS_
+                p.name = raw[base:find_nul(b"\0", base)].decode()
                 if filt[i]:
                     p.filtered = True
                     p.seq = fwd[i]
@@ -210,7 +217,8 @@ class NativeFastqReader:
             p.qual = quals[i, :fl].copy()
             if not p.qual.any():
                 p.qual = None
-            p.name = raw[i * NS_: (i + 1) * NS_].split(b"\0")[0].decode()
+            base = i * NS_
+            p.name = raw[base:raw.index(b"\0", base)].decode()
             if filt[i]:
                 p.filtered = True
                 p.seq = codes

@@ -335,23 +335,30 @@ class StatCollector:
         _update_regular.  Must run before anything reads sites.depth/
         q20/q30 or the empirical distributions (process_core,
         save_shard); the driver also calls it at each batch end."""
+        # np.bincount instead of np.add.at: same commutative sums, ~10x
+        # faster on the ~10M-element batch scatters
         if self._pend_idx:
             idx = np.concatenate(self._pend_idx)
             bq = np.concatenate(self._pend_bq)
             cycles = np.concatenate(self._pend_cycles)
-            np.add.at(self.sites.depth, idx, 1)
-            np.add.at(self.sites.q20, idx[bq >= 20], 1)
-            np.add.at(self.sites.q30, idx[bq >= 30], 1)
-            np.add.at(self.emp_rep_dist, bq, 1)
-            np.add.at(self.emp_cycle_dist, cycles, 1)
+            depth = self.sites.depth
+            depth += np.bincount(idx, minlength=len(depth))
+            self.sites.q20 += np.bincount(idx[bq >= 20], minlength=len(depth))
+            self.sites.q30 += np.bincount(idx[bq >= 30], minlength=len(depth))
+            self.emp_rep_dist += np.bincount(
+                bq, minlength=len(self.emp_rep_dist))
+            self.emp_cycle_dist += np.bincount(
+                cycles, minlength=len(self.emp_cycle_dist))
             self._pend_idx.clear()
             self._pend_bq.clear()
             self._pend_cycles.clear()
         if self._pend_mis_bq:
-            np.add.at(self.mis_emp_rep_dist,
-                      np.concatenate(self._pend_mis_bq), 1)
-            np.add.at(self.mis_emp_cycle_dist,
-                      np.concatenate(self._pend_mis_cycles), 1)
+            self.mis_emp_rep_dist += np.bincount(
+                np.concatenate(self._pend_mis_bq),
+                minlength=len(self.mis_emp_rep_dist))
+            self.mis_emp_cycle_dist += np.bincount(
+                np.concatenate(self._pend_mis_cycles),
+                minlength=len(self.mis_emp_cycle_dist))
             self._pend_mis_bq.clear()
             self._pend_mis_cycles.clear()
 

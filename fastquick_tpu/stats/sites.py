@@ -30,6 +30,9 @@ class DenseSites:
             total += int((ends - starts).sum())
             self.chroms[chrom] = {"starts": starts, "ends": ends,
                                   "offsets": offs}
+        # (starts, ends, offsets) tuples for the hot query path
+        self._fast = {ch: (d["starts"], d["ends"], d["offsets"])
+                      for ch, d in self.chroms.items()}
         self.total = total
         self.depth = np.zeros(total, dtype=np.int64)
         self.q20 = np.zeros(total, dtype=np.int64)
@@ -40,24 +43,25 @@ class DenseSites:
     def index_range(self, chrom: str, start: int, end: int):
         """Map 1-based positions [start, end) to (positions, dense_idx)
         restricted to in-region sites.  Returns int64 arrays."""
-        c = self.chroms.get(chrom)
+        c = self._fast.get(chrom)
         if c is None or end <= start:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        starts, ends, offsets = c
         s0 = start - 1
         # fast path: the whole range inside one region (the common case
         # for a read segment against a marker flank) needs no per-position
         # searchsorted/masking
-        iv1 = int(np.searchsorted(c["starts"], s0, side="right")) - 1
-        if iv1 >= 0 and end - 1 <= int(c["ends"][iv1]):
-            base = int(c["offsets"][iv1]) - int(c["starts"][iv1])
+        iv1 = int(starts.searchsorted(s0, side="right")) - 1
+        if iv1 >= 0 and end - 1 <= ends[iv1]:
+            base = int(offsets[iv1]) - int(starts[iv1])
             p0 = np.arange(s0, end - 1, dtype=np.int64)
             return (p0 + 1, p0 + base)
         p0 = np.arange(start - 1, end - 1, dtype=np.int64)  # 0-based
-        iv = np.searchsorted(c["starts"], p0, side="right") - 1
+        iv = starts.searchsorted(p0, side="right") - 1
         ok = iv >= 0
-        iv_c = np.clip(iv, 0, len(c["starts"]) - 1)
-        ok &= p0 < c["ends"][iv_c]
-        idx = c["offsets"][iv_c] + (p0 - c["starts"][iv_c])
+        iv_c = np.clip(iv, 0, len(starts) - 1)
+        ok &= p0 < ends[iv_c]
+        idx = offsets[iv_c] + (p0 - starts[iv_c])
         return (p0[ok] + 1, idx[ok])  # back to 1-based positions
 
     def fill_from_position_map(self, chrom: str, values: dict[int, int],
