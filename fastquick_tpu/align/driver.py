@@ -80,6 +80,25 @@ class PairEndMapper:
         self.g_hash: dict[int, list[int]] = {}  # SA-interval position cache
         self.device_filter = device_filter and idx.kmer.thresh != 0
         self._dev_bitmaps = None
+        # per-phase timers (the reference's per-phase notices,
+        # BwtMapper.cpp:229-289); wall clock on this class of shared VM
+        # is too noisy to compare runs, these are the honest numbers
+        self.stage_t: dict[str, float] = {}
+
+    def _tick(self, stage: str, t0: float) -> float:
+        import time
+
+        t1 = time.perf_counter()
+        self.stage_t[stage] = self.stage_t.get(stage, 0.0) + (t1 - t0)
+        return t1
+
+    def report_stages(self) -> None:
+        if self.stage_t:
+            total = sum(self.stage_t.values())
+            parts = ", ".join(f"{k} {v:.2f}s" for k, v in
+                              sorted(self.stage_t.items(),
+                                     key=lambda kv: -kv[1]))
+            notice("Align phase times: %s (sum %.2fs)", parts, total)
 
     def _open_reader(self, path: str):
         """Native C++ loader fast path (parse+trim+filter); Python
@@ -164,9 +183,13 @@ class PairEndMapper:
         r2, nat2 = self._open_reader(fq2)
         last_ii = IsizeInfo()
 
+        import time
+
         def fetch(round_no):
+            t0 = time.perf_counter()
             b0 = self._next_batch(r1, nat1, batch_size, round_no)
             b1 = self._next_batch(r2, nat2, batch_size, round_no)
+            self._tick("io+filter", t0)
             return b0, b1
 
         nxt: list = [None]
@@ -187,8 +210,10 @@ class PairEndMapper:
                 th.join()
                 error("Pair-end files out of sync: %d vs %d reads",
                       len(b0), len(b1))
+            t0 = time.perf_counter()
             self.engine.align_batch(b0, opt)
             self.engine.align_batch(b1, opt)
+            self._tick("search", t0)
             ii = self._process_batch(b0, b1, last_ii, fsc)
             last_ii = ii
             th.join()
@@ -198,11 +223,14 @@ class PairEndMapper:
 
     def _process_batch(self, b0: list[Read], b1: list[Read],
                        last_ii: IsizeInfo, fsc: FileStat) -> IsizeInfo:
+        import time
+
         opt, popt = self.opt, self.popt
         idx = self.idx
         fms = (idx.fm_fwd, idx.fm_rev)
         n = len(b0)
         alns_buf: list[list] = [[None] * n, [None] * n]
+        t0 = time.perf_counter()
 
         # --- SE positions + mapQ (bwa_cal_pac_pos_pe SE part) ---
         for i in range(n):
@@ -272,12 +300,16 @@ class PairEndMapper:
                         for q in p[j].multi:
                             q.pos = sa_pos(fms, q.strand, q.pos, p[j].len)
 
+        t0 = self._tick("pe", t0)
+
         # --- mate rescue SW ---
         bwa_paired_sw(idx.text, list(zip(b0, b1)), popt, ii, opt.mode)
+        t0 = self._tick("mate-sw", t0)
 
         # --- gapped refinement + MD ---
         for batch in (b0, b1):
             self._refine_gapped(batch)
+        t0 = self._tick("refine", t0)
 
         # --- stats + output ---
         for i in range(n):
@@ -296,6 +328,7 @@ class PairEndMapper:
                 self.sam.write_pair(idx, p[0], p[1], opt)
         fsc.num_read += 2 * n
         self.collector.flush_dense()
+        self._tick("stats+out", t0)
         return ii
 
     def _refine_gapped(self, reads: list[Read]) -> None:
@@ -585,6 +618,7 @@ def run_align(argv: list[str]) -> int:
                                      device_filter=pl["device_filter"])
             mapper.run(fq1, "", fsc)
         collector.add_fsc(fsc)
+        mapper.report_stages()
         notice("%d sequences loaded, %d filtered, %d unmapped, %d retained",
                fsc.num_read, fsc.total_filtered, fsc.bwa_unmapped,
                fsc.total_retained)

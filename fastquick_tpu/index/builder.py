@@ -23,6 +23,7 @@ bit-comparable.
 from __future__ import annotations
 
 import os
+from bisect import bisect_right as _bisect_right
 from dataclasses import dataclass
 
 import numpy as np
@@ -75,11 +76,17 @@ class ReducedIndex:
     def l_pac(self) -> int:
         return len(self.text)
 
+    _offsets_list: list | None = None
+
     def coor_pac2real(self, pac_pos: int) -> tuple[int, int]:
         """pac offset -> (contig index, offset within contig);
         equivalent of bns_coor_pac2real (libbwa/bntseq.c)."""
-        i = int(np.searchsorted(self.contig_offsets, pac_pos, side="right")) - 1
-        return i, pac_pos - int(self.contig_offsets[i])
+        if self._offsets_list is None:
+            # bisect on a Python list beats np.searchsorted call overhead
+            # for the one-lookup-per-read hot path
+            self._offsets_list = self.contig_offsets.tolist()
+        i = _bisect_right(self._offsets_list, pac_pos) - 1
+        return i, pac_pos - self._offsets_list[i]
 
 
 def build_index(new_ref: str, thresh: int = 3) -> ReducedIndex:
