@@ -55,6 +55,19 @@ def _seq_qual(p) -> tuple[str, str]:
     return seq, qual
 
 
+def _seq_qual_codes(p) -> tuple[np.ndarray, np.ndarray | None]:
+    """Array form of _seq_qual for the BAM writer (skips the ASCII
+    round-trip): encoded 0..4 codes in output orientation + phred+33."""
+    if p.strand == 0:
+        seq = p.seq[: p.full_len]
+        qual = p.qual[: p.full_len] if p.qual is not None else None
+    else:
+        c = p.seq[: p.full_len][::-1]
+        seq = np.where(c < 4, 3 - c, c).astype(np.uint8)
+        qual = p.qual[: p.full_len][::-1] if p.qual is not None else None
+    return seq, qual
+
+
 def _pos5(p) -> int:
     if p.type != BWA_TYPE_NO_MATCH:
         return pos_end(p) if p.strand else p.pos
@@ -144,8 +157,8 @@ class SamWriter:
                 rname, pos_out = "*", 0
             else:
                 rname, pos_out = chrom, real_pos
-            cigar = ("*" if p.type == BWA_TYPE_NO_MATCH
-                     else cigar_string(p.cigar, p.len))
+            cigar = (("*" if p.type == BWA_TYPE_NO_MATCH
+                      else cigar_string(p.cigar, p.len)) if txt else None)
             # mate coordinates
             rnext, pnext, tlen = "*", 0, 0
             if mate is not None and mate.type != BWA_TYPE_NO_MATCH:
@@ -158,7 +171,7 @@ class SamWriter:
             elif mate is not None:
                 rnext = "="
                 pnext = real_pos if p.type != BWA_TYPE_NO_MATCH else 0
-            seq, qual = _seq_qual(p)
+            seq, qual = _seq_qual(p) if txt else _seq_qual_codes(p)
             if p.type != BWA_TYPE_NO_MATCH:
                 xt = "NURM"[p.type]
                 if txt:
@@ -228,10 +241,15 @@ class SamWriter:
         if mate is not None and mate.type == BWA_TYPE_NO_MATCH:
             flag |= SAM_FMU
         s = p.rseq if p.strand else p.seq
-        seq = _FWD_MAP[np.asarray(s[: p.len])].tobytes().decode("ascii")
-        qual = (np.asarray(p.qual[::-1] if p.strand else p.qual)
-                .tobytes().decode("ascii")
-                if p.qual is not None else "*")
+        if txt:
+            seq = _FWD_MAP[np.asarray(s[: p.len])].tobytes().decode("ascii")
+            qual = (np.asarray(p.qual[::-1] if p.strand else p.qual)
+                    .tobytes().decode("ascii")
+                    if p.qual is not None else "*")
+        else:
+            seq = np.asarray(s[: p.len])
+            qual = (np.asarray(p.qual[::-1] if p.strand else p.qual)
+                    if p.qual is not None else None)
         return (p.name, flag, "*", 0, 0, "*", "*", 0, 0, seq, qual,
                 tags_text, tags_bin)
 

@@ -35,6 +35,18 @@ def pack_seq_nibbles(seq: str) -> bytes:
     return ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
 
 
+# 2-bit code (0..4 = ACGTN) -> BAM nibble, for the no-string fast path
+_CODE_NIBBLE = np.array([1, 2, 4, 8, 15], dtype=np.uint8)
+
+
+def pack_code_nibbles(codes: np.ndarray) -> bytes:
+    """4-bit pack an encoded (0..4) sequence array directly."""
+    nib = _CODE_NIBBLE[codes]
+    if len(nib) % 2:
+        nib = np.concatenate([nib, np.zeros(1, np.uint8)])
+    return ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8).tobytes()
+
+
 def reg2bin(beg: int, end: int) -> int:
     end -= 1
     if beg >> 14 == end >> 14:
@@ -65,9 +77,11 @@ class BamWriter:
 
     def write_record(self, qname: str, flag: int, rname: str, pos1: int,
                      mapq: int, cigar: list[tuple[int, int]] | None,
-                     rnext: str, pnext1: int, tlen: int, seq: str, qual: str,
+                     rnext: str, pnext1: int, tlen: int, seq, qual,
                      tags: bytes) -> None:
-        """pos1/pnext1 are 1-based (0 = unmapped '*')."""
+        """pos1/pnext1 are 1-based (0 = unmapped '*').  seq is a str or
+        an encoded (0..4) uint8 array; qual a str or phred+33 uint8
+        array (the array forms skip a string round-trip)."""
         refid = self.tid.get(rname, -1)
         next_refid = refid if rnext == "=" else self.tid.get(rnext, -1)
         pos = pos1 - 1
@@ -79,14 +93,21 @@ class BamWriter:
             n_cigar = len(cigar)
             for op, ln in cigar:
                 cig += struct.pack("<I", (ln << 4) | FROM_TO_BAM[op])
-        l_seq = 0 if seq == "*" else len(seq)
+        if isinstance(seq, str):
+            l_seq = 0 if seq == "*" else len(seq)
+            sq = pack_seq_nibbles(seq) if l_seq else b""
+        else:
+            l_seq = len(seq)
+            sq = pack_code_nibbles(seq)
         if l_seq:
-            sq = pack_seq_nibbles(seq)
-            if qual == "*":
+            if qual is None:
                 ql = b"\xff" * l_seq
-            else:
-                ql = ((np.frombuffer(qual.encode("latin1"), dtype=np.uint8)
+            elif isinstance(qual, str):
+                ql = (b"\xff" * l_seq if qual == "*" else
+                      (np.frombuffer(qual.encode("latin1"), dtype=np.uint8)
                        - 33).astype(np.uint8).tobytes())
+            else:
+                ql = (qual.astype(np.uint8) - 33).tobytes()
         else:
             sq = b""
             ql = b""
@@ -108,16 +129,28 @@ class BamWriter:
         self._w.close()
 
 
+_TAG_I = struct.Struct("<i").pack
+_tag_pre: dict[tuple[str, bytes], bytes] = {}
+
+
+def _pre(name: str, kind: bytes) -> bytes:
+    key = (name, kind)
+    v = _tag_pre.get(key)
+    if v is None:
+        v = _tag_pre.setdefault(key, name.encode() + kind)
+    return v
+
+
 def tag_A(name: str, v: str) -> bytes:
-    return name.encode() + b"A" + v.encode()[:1]
+    return _pre(name, b"A") + v.encode()[:1]
 
 
 def tag_i(name: str, v: int) -> bytes:
-    return name.encode() + b"i" + struct.pack("<i", v)
+    return _pre(name, b"i") + _TAG_I(v)
 
 
 def tag_Z(name: str, v: str) -> bytes:
-    return name.encode() + b"Z" + v.encode() + b"\x00"
+    return _pre(name, b"Z") + v.encode() + b"\x00"
 
 
 class BamReader:

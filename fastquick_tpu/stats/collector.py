@@ -268,8 +268,14 @@ class StatCollector:
                 self.flank_region.collapse()
             s = DenseSites(self.flank_region.regions)
             for chrom, segs in self.gc.items():
-                pos = np.concatenate(
-                    [t + np.arange(len(g), dtype=np.int64) for t, g in segs])
+                # positions = per-segment runs, built with one repeat
+                # instead of len(segs) aranges
+                starts = np.array([t for t, _ in segs], dtype=np.int64)
+                lens = np.array([len(g) for _, g in segs], dtype=np.int64)
+                total = int(lens.sum())
+                base = np.repeat(starts - np.concatenate(
+                    [[0], np.cumsum(lens)[:-1]]), lens)
+                pos = base + np.arange(total, dtype=np.int64)
                 val = np.concatenate([g for _, g in segs])
                 s.fill_from_positions(chrom, pos, val, "gc")
             for chrom, posset in self.dbsnp_table.items():
