@@ -17,9 +17,10 @@ device numbers: k-mer filter 262k reads in 0.2ms on-chip.
 
 vs_baseline: the reference C pipeline has no published numbers
 (BASELINE.json.published == {}); comparison points are estimates for the
-reference's default single-node 4-thread configuration: ~1M reads/s for
-the filter-dominated e2e stream and ~100k aligner reads/s
-(bwt_match_gap at roughly 25k reads/s/core for 151bp reads).
+reference on THIS host: bwt_match_gap at roughly 25k reads/s/core for
+151bp reads (so 25k x n_cores for the aligner benchmark; the reference
+driver passes `nproc` threads), and ~1M reads/s for the
+filter-dominated e2e stream.
 
 Prints exactly one JSON line.
 """
@@ -35,7 +36,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_READS_PER_SEC = 100_000.0
+BASELINE_READS_PER_SEC_PER_CORE = 25_000.0
+BASELINE_READS_PER_SEC = BASELINE_READS_PER_SEC_PER_CORE * (os.cpu_count()
+                                                            or 4)
 
 
 def _device_env_fix():

@@ -303,7 +303,8 @@ class StatCollector:
         for p in mpos[lo:hi]:
             off = int(p) - site
             idx = tbl[int(p)]
-            self.seq_vec[idx] += seq[rel_read + off]
+            self.seq_vec[idx] += (seq[rel_read + off] if isinstance(seq, str)
+                                  else chr(seq[rel_read + off]))
             self.qual_vec[idx].append(int(qual[rel_read + off]))
             self.cycle_vec[idx].append(tmp_cycle + sign * off)
             self.maq_vec[idx].append(mapq + 33)
@@ -384,7 +385,7 @@ class StatCollector:
         else:
             seq_np = rc_map[p.seq[: p.full_len][::-1]]
             qual = p.qual[: p.full_len][::-1].astype(np.int64) - 33
-        seq = seq_np.tobytes().decode("ascii")
+        seq = seq_np  # ASCII bytes; str only materialized when MD needs it
 
         pos = p.pos - contig.offset + 1
         flank = opt.flank_long_len if contig.is_long else opt.flank_len
@@ -392,8 +393,13 @@ class StatCollector:
         chrom = normalize_chrom(contig.chrom)
 
         md = p.md
-        ref_seq = recover_refseq_by_md_and_cigar(seq, md, p.cigar)
-        ref_np = np.frombuffer(ref_seq.encode("ascii"), dtype=np.uint8)
+        if p.cigar is None and md.isdigit():
+            # full-length match, no mismatches/deletions: ref == read
+            ref_np = seq_np
+        else:
+            ref_seq = recover_refseq_by_md_and_cigar(
+                seq_np.tobytes().decode("ascii"), md, p.cigar)
+            ref_np = np.frombuffer(ref_seq.encode("ascii"), dtype=np.uint8)
 
         site = read_real_start
         tmp_cycle = p.full_len - 1 if p.strand else 0
