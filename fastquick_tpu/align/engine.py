@@ -21,6 +21,7 @@ class NativeEngine:
     redoes hit-list overflows (>256 hits) with the Python oracle."""
 
     OUT_CAP = 256
+    _scratch = None
 
     def __init__(self, idx: ReducedIndex):
         import ctypes
@@ -68,9 +69,22 @@ class NativeEngine:
             return
         B = len(todo)
         L = max(p.len for p in todo)
-        seqs = np.full((B, 2, L), 4, dtype=np.uint8)
-        lens = np.zeros(B, dtype=np.int32)
-        mds = np.zeros(B, dtype=np.int32)
+        # reused scratch: a fresh 235MB zeroed hit buffer per call costs
+        # more (memset + page faults) than the alignment of small batches;
+        # the C engine only writes rows [0, out_n) per read and the
+        # extraction below only reads those
+        # (the C engine strides by exactly 2*L per read, so reuse needs
+        # an exact L match; B may shrink -- leading rows stay contiguous)
+        sc = self._scratch
+        if sc is None or sc[0].shape[0] < B or sc[0].shape[2] != L:
+            sc = (np.empty((B, 2, L), dtype=np.uint8),
+                  np.empty(B, dtype=np.int32),
+                  np.empty(B, dtype=np.int32),
+                  np.empty(B, dtype=np.int32),
+                  np.empty((B, self.OUT_CAP, 7), dtype=np.int32))
+            self._scratch = sc
+        seqs, lens, mds, out_n, out = sc
+        seqs[:B] = 4
         for b, p in enumerate(todo):
             seqs[b, 0, : p.len] = p.seq[: p.len]
             seqs[b, 1, : p.len] = p.rseq[: p.len]
@@ -80,8 +94,6 @@ class NativeEngine:
         batch_md = (bwa_cal_maxdiff(int(L), thres=opt.fnr)
                     if opt.fnr > 0.0 else opt.max_diff)
         max_gapo = min(opt.max_gapo, batch_md)
-        out_n = np.zeros(B, dtype=np.int32)
-        out = np.zeros((B, self.OUT_CAP, 7), dtype=np.int32)
         cp = ctypes.c_void_p
         self._lib.aln_batch(
             self._h, seqs.ctypes.data_as(cp), lens.ctypes.data_as(cp),
@@ -91,7 +103,7 @@ class NativeEngine:
             out_n.ctypes.data_as(cp), out.ctypes.data_as(cp), self.OUT_CAP)
         # gather all hit rows in one vectorized pass (per-read numpy
         # slicing costs more than the hits themselves at ~1 hit/read)
-        counts = np.maximum(out_n, 0)
+        counts = np.maximum(out_n[:B], 0)
         tot = int(counts.sum())
         if tot:
             b_rep = np.repeat(np.arange(B), counts)
