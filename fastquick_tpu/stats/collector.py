@@ -152,6 +152,22 @@ def _leading_int(s: str) -> int:
     return int(num) if num else 0
 
 
+_FWD_MAP = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_RC_MAP = np.frombuffer(b"TGCAN", dtype=np.uint8)
+
+
+def _materialize(p) -> tuple[np.ndarray, np.ndarray]:
+    """Read bases (ASCII codes) + qualities (phred ints) in reference
+    orientation (AddSingleAlignment :437-460)."""
+    if p.strand == 0:
+        seq_np = _FWD_MAP[p.seq[: p.full_len]]
+        qual = p.qual[: p.full_len].astype(np.int64) - 33
+    else:
+        seq_np = _RC_MAP[p.seq[: p.full_len][::-1]]
+        qual = p.qual[: p.full_len][::-1].astype(np.int64) - 33
+    return seq_np, qual
+
+
 class StatCollector:
     def __init__(self):
         self._sites = None  # DenseSites, built lazily (after target join)
@@ -179,6 +195,9 @@ class StatCollector:
         self._pend_cycles: list[np.ndarray] = []
         self._pend_mis_bq: list[np.ndarray] = []
         self._pend_mis_cycles: list[np.ndarray] = []
+        # deferred eligible single alignments: (read, chrom, real_start);
+        # drained (in order) by flush_dense
+        self._queue: list[tuple] = []
         self._marker_pos: dict[str, np.ndarray] = {}
         # per-chrom list of (start_pos, per-position GC values) segments
         self.gc: dict[str, list[tuple[int, np.ndarray]]] = {}
@@ -342,6 +361,7 @@ class StatCollector:
         _update_regular.  Must run before anything reads sites.depth/
         q20/q30 or the empirical distributions (process_core,
         save_shard); the driver also calls it at each batch end."""
+        self._drain_queue()
         # np.bincount instead of np.add.at: same commutative sums, ~10x
         # faster on the ~10M-element batch scatters
         if self._pend_idx:
@@ -370,27 +390,27 @@ class StatCollector:
             self._pend_mis_cycles.clear()
 
     def add_single_alignment(self, idx: ReducedIndex, p, opt: GapOpt) -> bool:
-        """AddSingleAlignment (:424-621)."""
+        """AddSingleAlignment (:424-621) eligibility gate.  The per-base
+        accounting is deferred to _drain_queue (invoked by flush_dense),
+        which batch-vectorizes the pure-match majority; the return value
+        only depends on the mapQ>=20 / mapped gates (:429-433), so
+        AddAlignment's control flow is unchanged by deferral."""
         if p.type == BWA_TYPE_NO_MATCH or p.mapQ < 20:
             return False
-        j = pos_end(p) - p.pos
         seqid, _ = idx.coor_pac2real(p.pos)
         contig = idx.contigs[seqid]
-
-        fwd_map = np.frombuffer(b"ACGTN", dtype=np.uint8)
-        rc_map = np.frombuffer(b"TGCAN", dtype=np.uint8)
-        if p.strand == 0:
-            seq_np = fwd_map[p.seq[: p.full_len]]
-            qual = p.qual[: p.full_len].astype(np.int64) - 33
-        else:
-            seq_np = rc_map[p.seq[: p.full_len][::-1]]
-            qual = p.qual[: p.full_len][::-1].astype(np.int64) - 33
-        seq = seq_np  # ASCII bytes; str only materialized when MD needs it
-
         pos = p.pos - contig.offset + 1
         flank = opt.flank_long_len if contig.is_long else opt.flank_len
         read_real_start = contig.pos - flank + pos - 1
-        chrom = normalize_chrom(contig.chrom)
+        self._queue.append((p, normalize_chrom(contig.chrom),
+                            read_real_start))
+        return True
+
+    def _apply_single(self, p, chrom: str, read_real_start: int) -> None:
+        """Per-read body of AddSingleAlignment (:437-618): coordinate
+        walk over the CIGAR with marker + regular-site accounting."""
+        seq_np, qual = _materialize(p)
+        seq = seq_np  # ASCII bytes; str only materialized when MD needs it
 
         md = p.md
         if p.cigar is None and md.isdigit():
@@ -432,7 +452,106 @@ class StatCollector:
                                 qual, p.mapQ, rel_read)
             self._update_regular(seq_np, qual, ref_np, chrom, site, p.strand,
                                  p.len, tmp_cycle, rel_read, rel_ref)
-        return True
+
+    _VEC_CHUNK = 16384  # rows per vectorized slab (caps transient memory)
+
+    def _drain_queue(self) -> None:
+        """Apply the deferred AddSingleAlignment bodies.  Marker-pileup
+        appends run in original read order (the .Pileup strings are
+        order-sensitive); the dense-site scatters of pure-match reads
+        (cigar None, digit MD: ref == read, one M segment) are computed
+        as one masked 2-D pass per chromosome -- commutative sums, so
+        batching them is output-identical."""
+        q = self._queue
+        if not q:
+            return
+        self._queue = []
+        n = len(q)
+        simple = np.zeros(n, dtype=bool)
+        site0 = np.empty(n, dtype=np.int64)
+        rlen = np.empty(n, dtype=np.int64)
+        groups: dict[str, list[int]] = {}
+        for i, (p, chrom, site) in enumerate(q):
+            site0[i] = site
+            rlen[i] = p.len
+            if (p.cigar is None and p.len == p.full_len
+                    and p.md.isdigit()):
+                simple[i] = True
+            groups.setdefault(chrom, []).append(i)
+
+        sites = self.sites
+        marker_hit = np.zeros(n, dtype=bool)
+        vec_rows: dict[str, np.ndarray] = {}
+        for chrom, idl in groups.items():
+            idxs = np.asarray(idl, dtype=np.int64)
+            tbl = self.vcf_table.get(chrom)
+            if tbl is not None:
+                mpos = self._marker_pos.get(chrom)
+                if mpos is None:
+                    mpos = np.array(sorted(tbl), dtype=np.int64)
+                    self._marker_pos[chrom] = mpos
+                lo = np.searchsorted(mpos, site0[idxs])
+                hi = np.searchsorted(mpos, site0[idxs] + rlen[idxs])
+                marker_hit[idxs] = hi > lo
+            srows = idxs[simple[idxs]]
+            c = sites._fast.get(chrom)
+            if c is None or len(srows) == 0:
+                continue
+            starts = c[0]
+            s0 = site0[srows] - 1
+            iv0 = np.searchsorted(starts, s0, side="right") - 1
+            iv1 = np.searchsorted(starts, s0 + rlen[srows] - 1,
+                                  side="right") - 1
+            span = iv0 != iv1  # touches >1 candidate region: per-read path
+            vec_rows[chrom] = srows[~span]
+            simple[srows[span]] = False
+
+        # in-order pass: marker pileups + the non-simple remainder
+        for i, (p, chrom, site) in enumerate(q):
+            if simple[i]:
+                if marker_hit[i]:
+                    seq_np, qual = _materialize(p)
+                    tmp_cycle = p.full_len - 1 if p.strand else 0
+                    self._update_marker(tmp_cycle, site, p.len, p.strand,
+                                        chrom, seq_np, qual, p.mapQ, 0)
+            else:
+                self._apply_single(p, chrom, site)
+
+        # vectorized regular-site scatters for the pure-match majority
+        for chrom, rows in vec_rows.items():
+            starts, ends, offsets = sites._fast[chrom]
+            for lo in range(0, len(rows), self._VEC_CHUNK):
+                rs = rows[lo:lo + self._VEC_CHUNK]
+                m = len(rs)
+                s0 = site0[rs] - 1
+                L = rlen[rs]
+                iv = np.searchsorted(starts, s0, side="right") - 1
+                has = iv >= 0
+                ivc = np.clip(iv, 0, len(starts) - 1)
+                Lmax = int(L.max())
+                ar = np.arange(Lmax, dtype=np.int64)
+                posm = s0[:, None] + ar[None, :]
+                inreg = ((ar[None, :] < L[:, None])
+                         & (posm >= starts[ivc][:, None])
+                         & (posm < ends[ivc][:, None])
+                         & has[:, None])
+                dense = (offsets[ivc] - starts[ivc])[:, None] + posm
+                Q = np.zeros((m, Lmax), dtype=np.int64)
+                strands = np.zeros(m, dtype=bool)
+                for k in range(m):
+                    p = q[rs[k]][0]
+                    l = int(L[k])
+                    if p.strand:
+                        Q[k, :l] = p.qual[:l][::-1]
+                        strands[k] = True
+                    else:
+                        Q[k, :l] = p.qual[:l]
+                Q -= 33
+                cyc = np.where(strands[:, None],
+                               (L - 1)[:, None] - ar[None, :], ar[None, :])
+                self._pend_idx.append(dense[inreg])
+                self._pend_bq.append(Q[inreg])
+                self._pend_cycles.append(cyc[inreg])
 
     def process_pair_status(self, idx: ReducedIndex, p, q, type_: str,
                             fout) -> int:
