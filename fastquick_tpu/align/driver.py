@@ -185,10 +185,27 @@ class PairEndMapper:
 
         import time
 
+        # the native loader releases the GIL, so the two files decode +
+        # k-mer-filter concurrently; the Python fallback stays sequential
+        # (its per-round downsampling RNG must see reads in order)
+        par_io = nat1 and nat2 and not self.device_filter
+
         def fetch(round_no):
             t0 = time.perf_counter()
-            b0 = self._next_batch(r1, nat1, batch_size, round_no)
-            b1 = self._next_batch(r2, nat2, batch_size, round_no)
+            if par_io:
+                res = [None, None]
+
+                def rd(k, rdr, nat):
+                    res[k] = self._next_batch(rdr, nat, batch_size, round_no)
+
+                th2 = threading.Thread(target=rd, args=(1, r2, nat2))
+                th2.start()
+                rd(0, r1, nat1)
+                th2.join()
+                b0, b1 = res
+            else:
+                b0 = self._next_batch(r1, nat1, batch_size, round_no)
+                b1 = self._next_batch(r2, nat2, batch_size, round_no)
             self._tick("io+filter", t0)
             return b0, b1
 
