@@ -75,6 +75,16 @@ def _pos5(p) -> int:
 
 
 class SamWriter:
+    """Record construction + output.
+
+    Writing runs on one worker thread (FIFO, so record order is
+    preserved): the main alignment loop only enqueues (p, mate) pairs,
+    while record packing and BGZF deflate happen concurrently -- the
+    async analog of the reference letting SAM/BAM IO ride its output
+    path while worker threads align the next batch."""
+
+    _QUEUE_MAX = 0x40000
+
     def __init__(self, prefix: str, contig_sizes: list[tuple[str, int]],
                  rg_line: str, bam: bool = True):
         self.rg_line = rg_line.replace("\\t", "\t")
@@ -96,11 +106,34 @@ class SamWriter:
             self._bam = None
             self._sam = open(prefix + ".sam", "w")
             self._sam.write(header_text)
+        import queue
+        import threading
+
+        self._q: queue.Queue = queue.Queue(maxsize=self._QUEUE_MAX)
+        self._err: BaseException | None = None
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                if self._err is None:
+                    idx, p, q, opt = item
+                    self._write_one(idx, p, q, opt)
+                    if q is not None:
+                        self._write_one(idx, q, p, opt)
+            except BaseException as e:  # surfaced by close()
+                self._err = e
+            finally:
+                self._q.task_done()
 
     def write_pair(self, idx: ReducedIndex, p, q, opt: GapOpt) -> None:
-        self._write_one(idx, p, q, opt)
-        if q is not None:
-            self._write_one(idx, q, p, opt)
+        if self._err is not None:
+            raise self._err
+        self._q.put((idx, p, q, opt))
 
     def _write_one(self, idx: ReducedIndex, p, mate, opt: GapOpt) -> None:
         fields = self._record(idx, p, mate, opt, txt=self._sam is not None)
@@ -254,7 +287,11 @@ class SamWriter:
                 tags_text, tags_bin)
 
     def close(self) -> None:
+        self._q.put(None)
+        self._worker.join()
         if self._bam is not None:
             self._bam.close()
         if self._sam is not None:
             self._sam.close()
+        if self._err is not None:
+            raise self._err
