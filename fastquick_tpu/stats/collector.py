@@ -369,9 +369,17 @@ class StatCollector:
             bq = np.concatenate(self._pend_bq)
             cycles = np.concatenate(self._pend_cycles)
             depth = self.sites.depth
-            depth += np.bincount(idx, minlength=len(depth))
-            self.sites.q20 += np.bincount(idx[bq >= 20], minlength=len(depth))
-            self.sites.q30 += np.bincount(idx[bq >= 30], minlength=len(depth))
+            S = len(depth)
+            # one composite bincount instead of three (plus two masked
+            # extractions): key = site + S * qual-tier (0 / >=Q20 / >=Q30)
+            tier = (bq >= 20).astype(np.int64) + (bq >= 30)
+            c = np.bincount(idx + tier * S, minlength=3 * S)
+            c0, c1, c2 = c[:S], c[S:2 * S], c[2 * S:]
+            q30 = c2
+            q20 = c1 + c2
+            depth += c0 + q20
+            self.sites.q20 += q20
+            self.sites.q30 += q30
             self.emp_rep_dist += np.bincount(
                 bq, minlength=len(self.emp_rep_dist))
             self.emp_cycle_dist += np.bincount(
