@@ -56,7 +56,7 @@ def _sw_kernel(ref_ref, query_ref, rlen_ref, qlen_ref, out_ref, h_scr, e_scr,
 
     def row(i, _):
         qlen = qlen_ref[:].reshape(TB, 1)
-        q = jax.lax.dynamic_slice(query_ref[:], (0, i), (TB, 1))  # (TB,1)
+        q = query_ref[:, pl.ds(i, 1)]  # (TB,1) dynamic VMEM load
         h_prev = h_scr[:]
         e_prev = e_scr[:]
         # score of aligning q (row i) against each ref column;
@@ -93,7 +93,10 @@ def _sw_kernel(ref_ref, query_ref, rlen_ref, qlen_ref, out_ref, h_scr, e_scr,
         e_scr[:] = jnp.where(ref_valid & (i < qlen), e_new, 0)
         # track best (strictly-greater update preserves C's first-max tie rule)
         row_best = jnp.max(h, axis=1, keepdims=True)  # (TB,1)
-        row_arg = jnp.argmax(h, axis=1).reshape(TB, 1).astype(jnp.int32)
+        # first-occurrence argmax (int argmax is unsupported in Mosaic):
+        # the smallest lane index whose value equals the row max
+        row_arg = jnp.min(jnp.where(h == row_best, lane, RL),
+                          axis=1, keepdims=True).astype(jnp.int32)
         cur = best_scr[:]
         better = row_best > cur[:, 0:1]  # (TB,1)
         new_best = jnp.concatenate(
@@ -123,6 +126,10 @@ def sw_forward_batch(refs, queries, rlens, qlens, RL: int, QL: int):
         rlens = jnp.concatenate([rlens, jnp.zeros(pad, jnp.int32)])
         qlens = jnp.concatenate([qlens, jnp.zeros(pad, jnp.int32)])
     Bp = refs.shape[0]
+    # rank-1 blocks of 8 violate Mosaic's 128-lane tiling; carry the
+    # length vectors as (B, 1) so their blocks are (TB, 1) rank-2 tiles
+    rlens2 = rlens.reshape(Bp, 1)
+    qlens2 = qlens.reshape(Bp, 1)
     grid = (Bp // TB,)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
@@ -134,8 +141,10 @@ def sw_forward_batch(refs, queries, rlens, qlens, RL: int, QL: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, QL), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB,), lambda b: (b,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB,), lambda b: (b,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TB, 4), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
@@ -145,7 +154,7 @@ def sw_forward_batch(refs, queries, rlens, qlens, RL: int, QL: int):
             pltpu.VMEM((TB, 4), jnp.int32),
         ],
         interpret=interpret,  # CPU backend (tests) has no Mosaic
-    )(refs, queries, rlens, qlens)
+    )(refs, queries, rlens2, qlens2)
     return out[:B]
 
 

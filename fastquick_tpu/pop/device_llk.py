@@ -86,12 +86,19 @@ class DeviceLLK:
                 [2.0 * l1a, jnp.log(jnp.asarray(2.0, dtype)) + la + l1a,
                  2.0 * la], axis=1)  # (M, 3)
 
+        # TPU f32 matmuls default to bf16 MXU passes; these two tiny
+        # contractions set the likelihood's precision, so force full f32
+        # (measured on-chip: rel err 2.4e-4 -> <2e-5 vs the numpy oracle)
+        hp = jax.lax.Precision.HIGHEST
+
         def marker_llks(counts_s, UD_s, means_s, kaf_s, pc1, pc2, alpha):
             if use_known:
                 af1 = af2 = jnp.clip(kaf_s, MIN_AF, MAX_AF)
             else:
-                af1 = jnp.clip((UD_s @ pc1 + means_s) * 0.5, MIN_AF, MAX_AF)
-                af2 = jnp.clip((UD_s @ pc2 + means_s) * 0.5, MIN_AF, MAX_AF)
+                af1 = jnp.clip((jnp.matmul(UD_s, pc1, precision=hp)
+                                + means_s) * 0.5, MIN_AF, MAX_AF)
+                af2 = jnp.clip((jnp.matmul(UD_s, pc2, precision=hp)
+                                + means_s) * 0.5, MIN_AF, MAX_AF)
             lg1, lg2 = log_gf(af1), log_gf(af2)
             e_mix = (alpha * self._lk_err[:, None, :]
                      + (1 - alpha) * self._lk_err[None, :, :])
@@ -100,7 +107,8 @@ class DeviceLLK:
             v = e_mix * self._eps + n_mix * (1 - self._eps)  # (3, 3, bins)
             tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
             logv = jnp.log(jnp.maximum(v, tiny))
-            base_lk = counts_s @ logv.reshape(9, -1).T  # (M, 9)
+            base_lk = jnp.matmul(counts_s, logv.reshape(9, -1).T,
+                                 precision=hp)  # (M, 9)
             tot = base_lk + (lg1[:, :, None] + lg2[:, None, :]).reshape(-1, 9)
             m = jnp.max(tot, axis=1)
             ll = m + jnp.log(jnp.exp(tot - m[:, None]).sum(axis=1))

@@ -10,12 +10,18 @@ late -- we override through jax.config before any backend initializes.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# FQ_TEST_PLATFORM=axon runs the single-device ops tests on the real TPU
+# (skip the 8-device mesh tests there: one chip behind the relay).
+_plat = os.environ.get("FQ_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
+if _plat == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+else:
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _plat)
