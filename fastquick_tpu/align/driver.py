@@ -214,32 +214,67 @@ class PairEndMapper:
         def prefetch(round_no):
             nxt[0] = fetch(round_no)
 
+        # stats worker (the reference's PEworker analog,
+        # src/BwtMapper.cpp:654-684): one FIFO thread applies the
+        # stats+output stage of batch k while the main thread aligns
+        # batch k+1.  A single worker preserves accumulation order
+        # (pileup strings, dup table, .InsertSizeTable rows).
+        import queue
+
+        statq: queue.Queue = queue.Queue(maxsize=2)
+        stats_err: list = []
+
+        def stats_worker():
+            while True:
+                item = statq.get()
+                if item is None:
+                    return
+                try:
+                    if not stats_err:
+                        self._stats_out(*item)
+                except BaseException as e:
+                    stats_err.append(e)
+                finally:
+                    statq.task_done()
+
+        sworker = threading.Thread(target=stats_worker)
+        sworker.start()
+
         cur = fetch(0)
         round_no = 1
-        while True:
-            b0, b1 = cur
-            if not b0 and not b1:
-                break
-            th = threading.Thread(target=prefetch, args=(round_no,))
-            th.start()
-            round_no += 1
-            if len(b0) != len(b1):
+        try:
+            while True:
+                b0, b1 = cur
+                if not b0 and not b1:
+                    break
+                th = threading.Thread(target=prefetch, args=(round_no,))
+                th.start()
+                round_no += 1
+                if len(b0) != len(b1):
+                    th.join()
+                    error("Pair-end files out of sync: %d vs %d reads",
+                          len(b0), len(b1))
+                t0 = time.perf_counter()
+                self.engine.align_batch(b0, opt)
+                self.engine.align_batch(b1, opt)
+                self._tick("search", t0)
+                ii = self._process_batch(b0, b1, last_ii, fsc, statq)
+                last_ii = ii
                 th.join()
-                error("Pair-end files out of sync: %d vs %d reads",
-                      len(b0), len(b1))
-            t0 = time.perf_counter()
-            self.engine.align_batch(b0, opt)
-            self.engine.align_batch(b1, opt)
-            self._tick("search", t0)
-            ii = self._process_batch(b0, b1, last_ii, fsc)
-            last_ii = ii
-            th.join()
-            cur = nxt[0]
+                cur = nxt[0]
+                if stats_err:
+                    raise stats_err[0]
+        finally:
+            statq.put(None)
+            sworker.join()
+        if stats_err:
+            raise stats_err[0]
         r1.close()
         r2.close()
 
     def _process_batch(self, b0: list[Read], b1: list[Read],
-                       last_ii: IsizeInfo, fsc: FileStat) -> IsizeInfo:
+                       last_ii: IsizeInfo, fsc: FileStat,
+                       statq=None) -> IsizeInfo:
         import time
 
         opt, popt = self.opt, self.popt
@@ -328,7 +363,22 @@ class PairEndMapper:
             self._refine_gapped(batch)
         t0 = self._tick("refine", t0)
 
-        # --- stats + output ---
+        # --- stats + output (on the stats worker when pipelined) ---
+        if statq is not None:
+            statq.put((b0, b1, fsc))
+            self._tick("stats-enq", t0)
+        else:
+            self._stats_out(b0, b1, fsc)
+            self._tick("stats+out", t0)
+        return ii
+
+    def _stats_out(self, b0: list[Read], b1: list[Read],
+                   fsc: FileStat) -> None:
+        import time
+
+        t0 = time.perf_counter()
+        opt, idx = self.opt, self.idx
+        n = len(b0)
         for i in range(n):
             p = [b0[i], b1[i]]
             fsc.num_base += p[0].full_len + p[1].full_len
@@ -346,7 +396,6 @@ class PairEndMapper:
         fsc.num_read += 2 * n
         self.collector.flush_dense()
         self._tick("stats+out", t0)
-        return ii
 
     def _refine_gapped(self, reads: list[Read]) -> None:
         """bwa_refine_gapped (libbwa/bwase.c:339-417)."""
