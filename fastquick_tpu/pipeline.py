@@ -2,11 +2,13 @@
 
 Equivalent of the reference's 545-line shell driver
 (bin/FASTQuick_template.sh): step selection
-(All | AllButIndex | Index | Align | Contamination | Visualize,
-template :169-192), index -> SVD resource prep -> align -> pop+con ->
-report with the same file-presence idempotence (index skipped when
-artifacts exist :324-326, SVD resources when present :377-385, align
-refuses to overwrite a finished .Summary :467-470).
+(All | AllButIndex | Index | Align | Contamination | Ancestry |
+Visualize, template :169-192; Ancestry and Contamination select the
+same pop+con stage, and Align/Contamination/Ancestry also run the
+visualize stage, :182-190), index -> SVD resource prep -> align ->
+pop+con -> report with the same file-presence idempotence (index
+skipped when artifacts exist :324-326, SVD resources when present
+:377-385, align refuses to overwrite a finished .Summary :467-470).
 """
 
 from __future__ import annotations
@@ -16,13 +18,15 @@ import os
 from .params import ParamList
 from .utils.logging import error, notice, warning
 
-STEPS = {"All", "AllButIndex", "Index", "Align", "Contamination", "Visualize"}
+STEPS = {"All", "AllButIndex", "Index", "Align", "Contamination",
+         "Ancestry", "Visualize"}
 
 
 def run_pipeline(argv: list[str]) -> int:
     pl = ParamList()
     pl.group("Pipeline")
-    pl.add("steps", "All", "All|AllButIndex|Index|Align|Contamination|Visualize")
+    pl.add("steps", "All", "All|AllButIndex|Index|Align|Contamination|"
+           "Ancestry|Visualize")
     pl.add("output", "Empty", "output prefix [Required]")
     pl.add("index", "Empty", "index prefix (defaults to <output> dir /index)")
     pl.group("Index stage")
@@ -39,6 +43,9 @@ def run_pipeline(argv: list[str]) -> int:
     pl.group("Contamination stage")
     pl.add("SVDPrefix", "Empty", "SVD resource prefix")
     pl.add("RefVCF", "Empty", "reference panel VCF (SVD on the fly)")
+    pl.add("DisableSanityCheck", False, "pass --DisableSanityCheck to "
+           "pop+con (the reference driver never disables it; its example "
+           "scripts do)")
     pl.group("Report stage")
     pl.add("PopLabels", "Empty", "sample->population labels (1000g.pop)")
     pl.read(argv)
@@ -59,8 +66,10 @@ def run_pipeline(argv: list[str]) -> int:
 
     do_index = steps in ("All", "Index")
     do_align = steps in ("All", "AllButIndex", "Align")
-    do_con = steps in ("All", "AllButIndex", "Contamination")
-    do_vis = steps in ("All", "AllButIndex", "Visualize")
+    do_con = steps in ("All", "AllButIndex", "Contamination", "Ancestry")
+    # every non-index step runs visualization (template :182-190)
+    do_vis = steps in ("All", "AllButIndex", "Align", "Contamination",
+                       "Ancestry", "Visualize")
 
     new_ref = idx_prefix + ".FASTQuick.fa"
     if do_index:
@@ -118,10 +127,12 @@ def run_pipeline(argv: list[str]) -> int:
         else:
             from .pop.driver import run_popcon
 
-            rc = run_popcon(["--DisableSanityCheck",
-                             "--PileupFile", out_prefix + ".Pileup",
-                             "--SVDPrefix", svd_prefix,
-                             "--Output", out_prefix])
+            args = ["--PileupFile", out_prefix + ".Pileup",
+                    "--SVDPrefix", svd_prefix,
+                    "--Output", out_prefix]
+            if pl["DisableSanityCheck"]:
+                args.insert(0, "--DisableSanityCheck")
+            rc = run_popcon(args)
             if rc != 0:
                 return rc
 

@@ -85,3 +85,60 @@ def test_unknown_step_rejected(tmp_path):
 
     rc = main(["all", "--steps", "Bogus", "--output", str(tmp_path / "x")])
     assert rc != 0
+
+
+EX = "/root/reference/example"
+RES = "/root/reference/resource"
+
+
+def test_full_pipeline_all_steps(tmp_path):
+    """fastquick all == the reference shell driver end-to-end: index ->
+    align -> pop+con -> FinalReport on the bundled example."""
+    from fastquick_tpu.cli import main
+
+    out = tmp_path / "out"
+    rc = main(["all", "--output", str(out),
+               "--index", str(tmp_path / "idx"),
+               "--candidateVCF", f"{EX}/hapmap.test.vcf.gz",
+               "--dbSNP", f"{EX}/dbsnp.test.vcf.gz",
+               "--reference", f"{EX}/ref.test.fa",
+               "--fastq_1", f"{EX}/ERR013170_1.filt.fastq.gz.1000.fastq.gz",
+               "--fastq_2", f"{EX}/ERR013170_2.filt.fastq.gz.1000.fastq.gz",
+               "--SVDPrefix", f"{RES}/hapmap_3.3.b37.dat",
+               "--DisableSanityCheck"])
+    assert rc == 0
+    for suffix in (".Summary", ".Pileup", ".selfSM", ".Ancestry",
+                   ".FinalReport.html"):
+        assert os.path.exists(str(out) + suffix), suffix
+
+
+def test_ancestry_step_alias(tmp_path):
+    """--steps Ancestry selects the pop+con stage (template :185-190) and,
+    like the reference, also runs visualization."""
+    from fastquick_tpu.cli import main
+
+    out = tmp_path / "out"
+    # fabricate a minimal align output for the contamination stage
+    import shutil
+
+    src = tmp_path / "src"
+    rc = main(["all", "--steps", "Index", "--output", str(src),
+               "--index", str(tmp_path / "idx"),
+               "--candidateVCF", f"{EX}/hapmap.test.vcf.gz",
+               "--dbSNP", f"{EX}/dbsnp.test.vcf.gz",
+               "--reference", f"{EX}/ref.test.fa"])
+    assert rc == 0
+    rc = main(["all", "--output", str(src),
+               "--index", str(tmp_path / "idx"),
+               "--fastq_1", f"{EX}/ERR013170_1.filt.fastq.gz.1000.fastq.gz",
+               "--fastq_2", f"{EX}/ERR013170_2.filt.fastq.gz.1000.fastq.gz",
+               "--steps", "Align"])
+    assert rc == 0
+    shutil.copy(str(src) + ".Pileup", str(out) + ".Pileup")
+    rc = main(["all", "--steps", "Ancestry", "--output", str(out),
+               "--index", str(tmp_path / "idx"),
+               "--SVDPrefix", f"{RES}/hapmap_3.3.b37.dat",
+               "--DisableSanityCheck"])
+    assert rc == 0
+    assert os.path.exists(str(out) + ".Ancestry")
+    assert os.path.exists(str(out) + ".FinalReport.html")
