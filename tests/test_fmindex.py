@@ -96,3 +96,68 @@ def test_encode_revcomp():
     np.testing.assert_array_equal(codes, [0, 1, 2, 3, 4, 0, 1, 2, 3, 4])
     rc = revcomp_codes(np.array([0, 1, 2, 3, 4], dtype=np.uint8))
     np.testing.assert_array_equal(rc, [4, 0, 1, 2, 3])
+
+
+# ---- bit-parity vs genuine bwa artifacts shipped with the reference ----
+
+BWA_FA = "/root/reference/example/ref.test.fa"
+
+
+def _example_codes():
+    fa = open(BWA_FA).read()
+    seq = "".join(line.strip() for line in fa.splitlines()
+                  if not line.startswith(">")).upper()
+    lut = np.full(256, 4, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        lut[ch] = i
+    t = lut[np.frombuffer(seq.encode(), np.uint8)]
+    assert t.max() <= 3  # the example genome has no Ns
+    return t
+
+
+def test_fmindex_matches_real_bwa_bwt_and_sa():
+    """The reference ships the actual `bwa index` output for
+    ref.test.fa (bwa 0.7 layout: one index over forward + reverse-
+    complement, 64-bit header, u64 Occ checkpoints interleaved every
+    128 symbols, SA sampled at interval 32).  Our builder must
+    reproduce it bit-for-bit: primary row, every BWT symbol, and every
+    sampled SA entry."""
+    import struct
+
+    t = _example_codes()
+    d = open(BWA_FA + ".bwt", "rb").read()
+    (primary,) = struct.unpack_from("<Q", d, 0)
+    L2 = struct.unpack_from("<4Q", d, 8)
+    seq_len = L2[3]
+    assert seq_len == 2 * len(t)
+    body = np.frombuffer(d, np.uint32, offset=40)
+    # de-interleave blocks: 8 words Occ (4 u64) + 8 words packed BWT
+    bwt_words = np.concatenate(
+        [body[i + 8:i + 16] for i in range(0, len(body), 16)])
+    k = np.arange(seq_len)
+    bwa_bwt = (bwt_words[k >> 4]
+               >> (((~k & 0xF) << 1).astype(np.uint32))) & 3
+
+    fm = FMIndex.build(np.concatenate([t, (3 - t)[::-1]]))
+    assert fm.primary == primary
+    assert np.array_equal(fm.bwt.astype(np.int64), bwa_bwt.astype(np.int64))
+    assert np.array_equal((fm.C[1:5] - 1).astype(np.int64),
+                          np.asarray(L2, np.int64))
+
+    ds = open(BWA_FA + ".sa", "rb").read()
+    (sa_primary,) = struct.unpack_from("<Q", ds, 0)
+    intv, sa_len = struct.unpack_from("<2Q", ds, 40)
+    assert sa_primary == primary and intv == 32 and sa_len == seq_len
+    bwa_sa = np.frombuffer(ds, np.uint64, offset=56)  # sa[0] omitted
+    ours = fm.sa[np.arange(1, len(bwa_sa) + 1) * int(intv)]
+    assert np.array_equal(ours.astype(np.uint64), bwa_sa)
+
+
+def test_pac_matches_real_bwa_pac(tmp_path):
+    """_dump_pac writes byte-identical `bwa index` .pac output."""
+    from fastquick_tpu.index.builder import _dump_pac
+
+    t = _example_codes()
+    out = tmp_path / "x.pac"
+    _dump_pac(str(out), t)
+    assert out.read_bytes() == open(BWA_FA + ".pac", "rb").read()
