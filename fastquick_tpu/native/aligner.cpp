@@ -441,6 +441,48 @@ void cal_width2(const Dir &d0, const Dir &d1, int64_t n, int len,
   w1[len].bid = ++bid1;
 }
 
+// A group of reads' width walks interleaved: each chain's rank loads are
+// a serial dependency, but chains are independent, so walking 2*G chains
+// (G reads x fwd/rev) in lockstep raises memory-level parallelism well
+// past the 2-way cal_width2 (the walk is latency-bound, not FLOP-bound).
+struct WChain {
+  const Dir *d;
+  const uint8_t *s;
+  int len;
+  Width *w;
+  int64_t k, l;
+  int bid;
+};
+
+void cal_width_multi(int64_t n, WChain *ch, int m) {
+  int maxlen = 0;
+  for (int j = 0; j < m; ++j) {
+    ch[j].k = 0;
+    ch[j].l = n;
+    ch[j].bid = 0;
+    if (ch[j].len > maxlen) maxlen = ch[j].len;
+  }
+  for (int i = 0; i < maxlen; ++i) {
+    for (int j = 0; j < m; ++j) {
+      WChain &c = ch[j];
+      if (i >= c.len) continue;
+      int base = c.s[i];
+      width_step(*c.d, n, base, c.k, c.l);
+      if (c.k > c.l || base > 3) {
+        c.k = 0;
+        c.l = n;
+        ++c.bid;
+      }
+      c.w[i].w = (int32_t)(c.l - c.k + 1);
+      c.w[i].bid = c.bid;
+    }
+  }
+  for (int j = 0; j < m; ++j) {
+    ch[j].w[ch[j].len].w = 0;
+    ch[j].w[ch[j].len].bid = ch[j].bid + 1;
+  }
+}
+
 void cal_width(const Dir &d, int64_t n, int len, const uint8_t *s,
                Width *width) {
   int64_t k = 0, l = n;
@@ -757,30 +799,50 @@ void aln_batch_range(Index *idxp, const uint8_t *seqs, const int32_t *lens,
   Stack stack;
   stack.init(aln_score(opt, md_max + 1, opt.max_gapo + 1, opt.max_gape + 1)
              + 1);
-  std::vector<Width> w0(L + 1), w1(L + 1), sw0(seed_len + 1),
-      sw1(seed_len + 1);
-  for (int b = b0; b < b1; ++b) {
-    int len = lens[b];
-    const uint8_t *s0 = seqs + (size_t)b * 2 * L;
-    const uint8_t *s1 = s0 + L;
-    const uint8_t *ss[2] = {s0, s1};
-    opt.max_diff = max_diffs[b];
-    opt.seed_len = seed_len < len ? seed_len : 0x7FFFFFFF;
-    cal_width2(idx.dir[0], idx.dir[1], idx.n, len, s0, s1, w0.data(),
-               w1.data());
-    Width *ws[2] = {w0.data(), w1.data()};
-    bool use_seed = len > seed_len;
-    Width *sws[2] = {sw0.data(), sw1.data()};
-    if (use_seed) {
-      cal_width2(idx.dir[0], idx.dir[1], idx.n, seed_len,
-                 s0 + (len - seed_len), s1 + (len - seed_len), sw0.data(),
-                 sw1.data());
+  // widths for a group of reads computed in one interleaved walk, then
+  // the (branchy, per-read) search runs over the precomputed arrays
+  constexpr int G = 8;
+  std::vector<Width> wbuf((size_t)G * 2 * (L + 1)),
+      swbuf((size_t)G * 2 * (seed_len + 1));
+  WChain chains[2 * G];
+  for (int g0 = b0; g0 < b1; g0 += G) {
+    int gn = (g0 + G < b1 ? G : b1 - g0);
+    int m = 0, sm = 0;
+    WChain schains[2 * G];
+    for (int gi = 0; gi < gn; ++gi) {
+      int b = g0 + gi;
+      int len = lens[b];
+      const uint8_t *s0 = seqs + (size_t)b * 2 * L;
+      for (int dir = 0; dir < 2; ++dir) {
+        Width *w = wbuf.data() + (size_t)(gi * 2 + dir) * (L + 1);
+        chains[m++] = {&idx.dir[dir], s0 + dir * L, len, w, 0, 0, 0};
+        if (len > seed_len) {
+          Width *sw = swbuf.data() + (size_t)(gi * 2 + dir) * (seed_len + 1);
+          schains[sm++] = {&idx.dir[dir], s0 + dir * L + (len - seed_len),
+                           seed_len, sw, 0, 0, 0};
+        }
+      }
     }
-    int nal = match_gap(idx, len, ss, ws, sws, use_seed, opt, stack,
-                        out_alns + (size_t)b * out_cap * 7, out_cap);
-    // -1 signals hit-list overflow: caller must redo this read with the
-    // unbounded engine (truncation would also skew the gapped-hit dedup)
-    out_n[b] = nal > out_cap ? -1 : nal;
+    cal_width_multi(idx.n, chains, m);
+    if (sm) cal_width_multi(idx.n, schains, sm);
+    for (int gi = 0; gi < gn; ++gi) {
+      int b = g0 + gi;
+      int len = lens[b];
+      const uint8_t *s0 = seqs + (size_t)b * 2 * L;
+      const uint8_t *ss[2] = {s0, s0 + L};
+      opt.max_diff = max_diffs[b];
+      opt.seed_len = seed_len < len ? seed_len : 0x7FFFFFFF;
+      Width *ws[2] = {wbuf.data() + (size_t)(gi * 2) * (L + 1),
+                      wbuf.data() + (size_t)(gi * 2 + 1) * (L + 1)};
+      Width *sws[2] = {swbuf.data() + (size_t)(gi * 2) * (seed_len + 1),
+                       swbuf.data() + (size_t)(gi * 2 + 1) * (seed_len + 1)};
+      bool use_seed = len > seed_len;
+      int nal = match_gap(idx, len, ss, ws, sws, use_seed, opt, stack,
+                          out_alns + (size_t)b * out_cap * 7, out_cap);
+      // -1 signals hit-list overflow: caller must redo this read with the
+      // unbounded engine (truncation would also skew the gapped-hit dedup)
+      out_n[b] = nal > out_cap ? -1 : nal;
+    }
   }
 }
 
