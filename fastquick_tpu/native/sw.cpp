@@ -14,6 +14,11 @@
 #include <thread>
 #include <vector>
 
+#ifdef __AVX512F__
+#include <immintrin.h>
+#define FQ_SIMD_SW 1
+#endif
+
 namespace {
 
 constexpr int GAP_OPEN = 26, GAP_EXT = 9, GAP_END = 5, BAND = 50;
@@ -251,6 +256,87 @@ void local_forward(const uint8_t *s1, int n1, const uint8_t *s2, int n2,
   }
 }
 
+#ifdef FQ_SIMD_SW
+// 16 independent local_forward DPs in int32 lanes over lane-major
+// (transposed) inputs.  Every lane executes exactly the scalar
+// recurrence -- including the freeze-F gate and the strict-greater
+// (j-outer, i-inner) argmax -- so results are bit-identical per job.
+// Scores are bounded by 11*q_len (< 2^31), so int32 lanes are exact.
+void local_forward16(const uint8_t *ref_t, const int32_t *n1,
+                     const uint8_t *q_t, const int32_t *n2, int max_n1,
+                     int max_n2, int64_t *best, int *bi, int *bj,
+                     std::vector<int32_t> &hbuf, std::vector<int32_t> &ebuf) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i v11 = _mm512_set1_epi32(11);
+  const __m512i vm19 = _mm512_set1_epi32(-19);
+  const __m512i vm13 = _mm512_set1_epi32(-13);
+  const __m512i v3 = _mm512_set1_epi32(3);
+  const __m512i vqr = _mm512_set1_epi32(GAP_OPEN + GAP_EXT);
+  const __m512i vge = _mm512_set1_epi32(GAP_EXT);
+  const __m512i n1v = _mm512_loadu_si512(n1);
+  const __m512i n2v = _mm512_loadu_si512(n2);
+  size_t W = (size_t)(max_n1 + 1) * 16;
+  hbuf.assign(2 * W, 0);
+  ebuf.assign(2 * W, 0);
+  int32_t *h_prev = hbuf.data(), *h_curr = hbuf.data() + W;
+  int32_t *e_prev = ebuf.data(), *e_curr = ebuf.data() + W;
+  __m512i bestv = zero, biv = zero, bjv = zero;
+  for (int j = 1; j <= max_n2; ++j) {
+    __m512i qb = _mm512_cvtepu8_epi32(
+        _mm_loadu_si128((const __m128i *)(q_t + (size_t)(j - 1) * 16)));
+    __m512i f = zero;
+    const __m512i jv = _mm512_set1_epi32(j);
+    const __mmask16 jin = _mm512_cmple_epi32_mask(jv, n2v);
+    _mm512_storeu_si512(h_curr, zero);
+    _mm512_storeu_si512(e_curr, zero);
+    for (int i = 1; i <= max_n1; ++i) {
+      __m512i rb = _mm512_cvtepu8_epi32(
+          _mm_loadu_si128((const __m128i *)(ref_t + (size_t)(i - 1) * 16)));
+      __mmask16 anyn = _kor_mask16(_mm512_cmpgt_epi32_mask(rb, v3),
+                                   _mm512_cmpgt_epi32_mask(qb, v3));
+      __mmask16 eq = _mm512_cmpeq_epi32_mask(rb, qb);
+      __m512i sc = _mm512_mask_blend_epi32(eq, vm19, v11);
+      sc = _mm512_mask_blend_epi32(anyn, sc, vm13);
+      __m512i h = _mm512_add_epi32(
+          _mm512_loadu_si512(h_prev + (size_t)(i - 1) * 16), sc);
+      h = _mm512_max_epi32(h, zero);
+      __m512i hc_im1 = _mm512_loadu_si512(h_curr + (size_t)(i - 1) * 16);
+      // freeze-F: lanes with h_curr[i-1] <= 0 keep f unchanged/unapplied
+      __mmask16 gate = _mm512_cmpgt_epi32_mask(hc_im1, zero);
+      __m512i fnew = _mm512_max_epi32(_mm512_sub_epi32(f, vge),
+                                      _mm512_sub_epi32(hc_im1, vqr));
+      f = _mm512_mask_blend_epi32(gate, f, fnew);
+      h = _mm512_mask_max_epi32(h, gate, h, f);
+      __m512i e = _mm512_max_epi32(
+          _mm512_sub_epi32(_mm512_loadu_si512(e_prev + (size_t)i * 16), vge),
+          _mm512_sub_epi32(_mm512_loadu_si512(h_prev + (size_t)i * 16), vqr));
+      e = _mm512_max_epi32(e, zero);
+      h = _mm512_max_epi32(h, e);
+      _mm512_storeu_si512(h_curr + (size_t)i * 16, h);
+      _mm512_storeu_si512(e_curr + (size_t)i * 16, e);
+      const __m512i iv = _mm512_set1_epi32(i);
+      __mmask16 upd = _kand_mask16(
+          _kand_mask16(_mm512_cmpgt_epi32_mask(h, bestv), jin),
+          _mm512_cmple_epi32_mask(iv, n1v));
+      bestv = _mm512_mask_blend_epi32(upd, bestv, h);
+      biv = _mm512_mask_blend_epi32(upd, biv, iv);
+      bjv = _mm512_mask_blend_epi32(upd, bjv, jv);
+    }
+    std::swap(h_prev, h_curr);
+    std::swap(e_prev, e_curr);
+  }
+  alignas(64) int32_t tb[16], ti[16], tj[16];
+  _mm512_store_si512(tb, bestv);
+  _mm512_store_si512(ti, biv);
+  _mm512_store_si512(tj, bjv);
+  for (int l = 0; l < 16; ++l) {
+    best[l] = tb[l];
+    bi[l] = ti[l];
+    bj[l] = tj[l];
+  }
+}
+#endif  // FQ_SIMD_SW
+
 }  // namespace
 
 extern "C" {
@@ -273,6 +359,42 @@ long long sw_local(const uint8_t *ref, int rl, const uint8_t *query, int ql,
   *n_cigar = 0;
   for (int k = 0; k < 6; ++k) coords[k] = 0;
   if (rl == 0 || ql == 0) return -1;
+  // Exact-occurrence fast path.  A full-length exact match scores
+  // 11*ql, the unique maximum (any mismatch/gap path scores less, and
+  // rows j < ql are bounded by 11*j), so the forward pass's
+  // strict-greater argmax ends at the LEFTMOST occurrence (end row
+  // j == ql), the reverse pass spans exactly the match, and the global
+  // traceback is the pure diagonal.  memmem reproduces all of it
+  // without the three O(rl*ql) DP passes.  Codes > 3 score -13 even
+  // against themselves, so the path requires an N-free query (byte
+  // equality then implies an N-free window too).
+  if (ql <= rl && thres <= 11 * ql) {
+    bool has_n = false;
+    for (int z = 0; z < ql; ++z)
+      if (query[z] > 3) {
+        has_n = true;
+        break;
+      }
+    if (!has_n) {
+      const void *hit = memmem(ref, (size_t)rl, query, (size_t)ql);
+      if (hit) {
+        int p = (int)((const uint8_t *)hit - ref);
+        coords[0] = p + 1;
+        coords[1] = 1;
+        coords[2] = p + ql;
+        coords[3] = ql;
+        coords[4] = 1;
+        coords[5] = 1;
+        if (cap >= 1) {
+          cigar_out[0] = ((uint32_t)FROM_M << 28) | (uint32_t)ql;
+          *n_cigar = 1;
+        } else {
+          *n_cigar = -1;
+        }
+        return 11LL * ql;
+      }
+    }
+  }
   int64_t score_f;
   int end_i, end_j;
   local_forward(ref, rl, query, ql, &score_f, &end_i, &end_j);
@@ -309,6 +431,134 @@ void sw_local_batch(const uint8_t *refs, const int64_t *ref_off,
                     uint32_t *cigars, int cig_cap, int *n_cigars,
                     int nthreads) {
   std::atomic<int> next(0);
+#ifdef FQ_SIMD_SW
+  // groups of 16 jobs: exact-occurrence prescan, then the forward and
+  // reverse local passes run 16-wide (lane results == scalar sw_local),
+  // and only the small banded global traceback stays per job
+  auto work = [&]() {
+    std::vector<int32_t> hbuf, ebuf;
+    std::vector<uint8_t> ref_t, q_t;
+    for (;;) {
+      int g0 = next.fetch_add(16);
+      if (g0 >= n) break;
+      int g1 = std::min(n, g0 + 16);
+      int todo[16], m = 0;
+      for (int i = g0; i < g1; ++i) {
+        n_cigars[i] = 0;
+        for (int k = 0; k < 6; ++k) coords[6 * i + k] = 0;
+        int rl = ref_len[i], ql = q_len[i];
+        const uint8_t *ref = refs + ref_off[i];
+        const uint8_t *q = queries + q_off[i];
+        if (rl == 0 || ql == 0) {
+          scores[i] = -1;
+          continue;
+        }
+        if (ql <= rl && thres <= 11 * ql && !memchr(q, 4, ql)) {
+          const void *hit = memmem(ref, (size_t)rl, q, (size_t)ql);
+          if (hit) {
+            int p = (int)((const uint8_t *)hit - ref);
+            int *c = coords + 6 * i;
+            c[0] = p + 1;
+            c[1] = 1;
+            c[2] = p + ql;
+            c[3] = ql;
+            c[4] = 1;
+            c[5] = 1;
+            if (cig_cap >= 1) {
+              cigars[(size_t)i * cig_cap] =
+                  ((uint32_t)FROM_M << 28) | (uint32_t)ql;
+              n_cigars[i] = 1;
+            } else {
+              n_cigars[i] = -1;
+            }
+            scores[i] = 11LL * ql;
+            continue;
+          }
+        }
+        todo[m++] = i;
+      }
+      if (!m) continue;
+      // ---- forward pass, 16-wide over transposed inputs ----
+      alignas(64) int32_t n1[16] = {0}, n2[16] = {0};
+      int max_n1 = 0, max_n2 = 0;
+      for (int l = 0; l < m; ++l) {
+        n1[l] = ref_len[todo[l]];
+        n2[l] = q_len[todo[l]];
+        if (n1[l] > max_n1) max_n1 = n1[l];
+        if (n2[l] > max_n2) max_n2 = n2[l];
+      }
+      ref_t.assign((size_t)max_n1 * 16, 4);
+      q_t.assign((size_t)max_n2 * 16, 4);
+      for (int l = 0; l < m; ++l) {
+        const uint8_t *ref = refs + ref_off[todo[l]];
+        const uint8_t *q = queries + q_off[todo[l]];
+        for (int i = 0; i < n1[l]; ++i) ref_t[(size_t)i * 16 + l] = ref[i];
+        for (int j = 0; j < n2[l]; ++j) q_t[(size_t)j * 16 + l] = q[j];
+      }
+      int64_t best[16];
+      int bi[16], bj[16];
+      local_forward16(ref_t.data(), n1, q_t.data(), n2, max_n1, max_n2, best,
+                      bi, bj, hbuf, ebuf);
+      // ---- select jobs that pass, queue the reverse pass ----
+      int rtodo[16], rm = 0;
+      for (int l = 0; l < m; ++l) {
+        int i = todo[l];
+        scores[i] = best[l];
+        coords[6 * i + 2] = bi[l];
+        coords[6 * i + 3] = bj[l];
+        if (best[l] < thres || bi[l] == 0 || bj[l] == 0) continue;
+        rtodo[rm] = l;
+        ++rm;
+      }
+      if (!rm) continue;
+      alignas(64) int32_t rn1[16] = {0}, rn2[16] = {0};
+      int rmax1 = 0, rmax2 = 0;
+      for (int s = 0; s < rm; ++s) {
+        int l = rtodo[s];
+        rn1[s] = bi[l];
+        rn2[s] = bj[l];
+        if (rn1[s] > rmax1) rmax1 = rn1[s];
+        if (rn2[s] > rmax2) rmax2 = rn2[s];
+      }
+      ref_t.assign((size_t)rmax1 * 16, 4);
+      q_t.assign((size_t)rmax2 * 16, 4);
+      for (int s = 0; s < rm; ++s) {
+        int l = rtodo[s];
+        const uint8_t *ref = refs + ref_off[todo[l]];
+        const uint8_t *q = queries + q_off[todo[l]];
+        for (int i = 0; i < rn1[s]; ++i)  // reversed prefix of length end_i
+          ref_t[(size_t)i * 16 + s] = ref[rn1[s] - 1 - i];
+        for (int j = 0; j < rn2[s]; ++j)
+          q_t[(size_t)j * 16 + s] = q[rn2[s] - 1 - j];
+      }
+      int64_t rbest[16];
+      int ri[16], rj[16];
+      local_forward16(ref_t.data(), rn1, q_t.data(), rn2, rmax1, rmax2, rbest,
+                      ri, rj, hbuf, ebuf);
+      // ---- banded global traceback per passing job (small region) ----
+      for (int s = 0; s < rm; ++s) {
+        int l = rtodo[s];
+        int i = todo[l];
+        int end_i = bi[l], end_j = bj[l];
+        int start_i = end_i - ri[s] + 1, start_j = end_j - rj[s] + 1;
+        int *c = coords + 6 * i;
+        c[0] = start_i;
+        c[1] = start_j;
+        const uint8_t *ref = refs + ref_off[i];
+        const uint8_t *q = queries + q_off[i];
+        GlobalResult g =
+            global_core(ref + start_i - 1, end_i - start_i + 1,
+                        q + start_j - 1, end_j - start_j + 1, BAND);
+        if (!g.pis.empty()) {
+          c[4] = g.pis.back();
+          c[5] = g.pjs.back();
+        }
+        n_cigars[i] =
+            path_to_cigar(g, cigars + (size_t)i * cig_cap, cig_cap);
+      }
+    }
+  };
+#else
   auto work = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
@@ -319,6 +569,7 @@ void sw_local_batch(const uint8_t *refs, const int64_t *ref_off,
                            n_cigars + i);
     }
   };
+#endif
   if (nthreads <= 1) {
     work();
     return;

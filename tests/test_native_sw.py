@@ -88,3 +88,31 @@ def test_sw_core_end_to_end_same(lib):
     assert new_beg == 700
     assert (cnt >> 16) == 1  # one mismatch
     assert cigar == [(0, 100)]
+
+
+def test_local_exact_fastpath_ties_and_n(lib):
+    """The memmem fast path must pick the LEFTMOST of repeated exact
+    occurrences (the DP's strict-greater argmax rule) and must stay off
+    for N-containing queries (N scores -13 even against itself)."""
+    from fastquick_tpu.align.dp import (aln_local_core, aln_path2cigar,
+                                        local_align)
+
+    rng = np.random.default_rng(7)
+    unit = rng.integers(0, 4, 60).astype(np.uint8)
+    ref = np.concatenate([unit, rng.integers(0, 4, 30).astype(np.uint8),
+                          unit, unit]).astype(np.uint8)
+    q = unit.copy()
+    score_p, path, (si, sj, ei, ej) = aln_local_core(ref, q, thres=1)
+    got_score, got_cigar, got_coords = local_align(ref, q, thres=1)
+    assert got_score == int(score_p)
+    assert got_coords[:4] == (si, sj, ei, ej)
+    assert got_cigar == aln_path2cigar(path)
+    assert ei == 60  # leftmost occurrence, not a later one
+
+    qn = unit.copy()
+    qn[10] = 4  # N
+    score_p, path, (si, sj, ei, ej) = aln_local_core(ref, qn, thres=1)
+    got_score, got_cigar, got_coords = local_align(ref, qn, thres=1)
+    assert got_score == int(score_p)
+    assert got_coords[:4] == (si, sj, ei, ej)
+    assert got_cigar == (aln_path2cigar(path) if path else [])
