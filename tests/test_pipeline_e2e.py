@@ -111,3 +111,49 @@ def test_device_engine_same_outputs(pipeline, tmp_path):
         sb = b.read()
     assert sa.startswith(sb.replace("Contamination Level : 0.5\n", "")) or \
         sb in sa
+
+
+def test_pipelined_stats_equals_inline(pipeline, tmp_path):
+    """The stats+output worker (PEworker analog) must be order-exact:
+    a multi-batch pipelined run equals an inline (statq=None) run
+    byte-for-byte across every output."""
+    import filecmp
+
+    import fastquick_tpu.align.driver as drv
+    from fastquick_tpu.cli import main
+
+    def run(prefix, inline):
+        orig_pb = drv.PairEndMapper._process_batch
+        orig_run = drv.PairEndMapper.run
+
+        def pb_inline(self, b0, b1, last_ii, fsc, statq=None):
+            return orig_pb(self, b0, b1, last_ii, fsc, None)
+
+        def run_small(self, fq1, fq2, fsc, batch_size=64):
+            return orig_run(self, fq1, fq2, fsc, batch_size)
+
+        drv.PairEndMapper.run = run_small
+        if inline:
+            drv.PairEndMapper._process_batch = pb_inline
+        try:
+            rc = main(["align",
+                       "--fastq_1",
+                       f"{EXAMPLE}/ERR013170_1.filt.fastq.gz.1000.fastq.gz",
+                       "--fastq_2",
+                       f"{EXAMPLE}/ERR013170_2.filt.fastq.gz.1000.fastq.gz",
+                       "--index_prefix", str(pipeline / "idx"),
+                       "--out_prefix", prefix])
+        finally:
+            drv.PairEndMapper.run = orig_run
+            drv.PairEndMapper._process_batch = orig_pb
+        assert rc == 0
+
+    run(str(tmp_path / "pipe"), inline=False)
+    run(str(tmp_path / "seq"), inline=True)
+    for sfx in ("Summary", "Pileup", "DepthDist", "GCDist", "EmpRepDist",
+                "EmpCycleDist", "RawInsertSizeDist",
+                "AdjustedInsertSizeDist", "SexChromInfo", "vcf",
+                "InsertSizeTable", "FASTQ.csv", "Sequence.csv", "bam"):
+        assert filecmp.cmp(str(tmp_path / f"pipe.{sfx}"),
+                           str(tmp_path / f"seq.{sfx}"),
+                           shallow=False), sfx
