@@ -48,6 +48,23 @@ struct Index {
   int64_t n;
 };
 
+// Optional work counters for tools/prof_aligner.cpp (-DFQ_PROF_COUNTERS);
+// noop macros in production builds.  Round-1 findings on the 2M-bp bench
+// world: pops ~336/read (32% post-first-hit), pushes ~757/read of which
+// only 0.5% are dead (score past the best+s_mm cutoff), occ ~311/read
+// (12.7% where only the exact child can survive), and match_exact_alt
+// walks ~1300 bases/read -- the single hottest loop after occ itself.
+#ifdef FQ_PROF_COUNTERS
+struct ProfCounters {
+  long long pops = 0, pops_posthit = 0, pushes = 0, pushes_dead = 0,
+            occ_calls = 0, occ_dead = 0, exact_alt_steps = 0;
+} g_prof;
+#define FQ_PROF_INC(x, v) (g_prof.x += (v))
+int g_prof_cutoff = 0x7FFFFFFF;
+#else
+#define FQ_PROF_INC(x, v) ((void)0)
+#endif
+
 inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
 
 #ifdef FQ_SIMD_RANK
@@ -368,6 +385,10 @@ struct Stack {
     if (is_diff) e.last_diff_pos = i;  // else: slot-persistent stale value
     counts[score] = n + 1;
     ++n_entries;
+#ifdef FQ_PROF_COUNTERS
+    ++g_prof.pushes;
+    if (score > g_prof_cutoff) ++g_prof.pushes_dead;
+#endif
     if (best > score) best = score;
   }
   Entry pop() {
@@ -520,6 +541,7 @@ void cal_width(const Dir &d, int64_t n, int len, const uint8_t *s,
 bool match_exact_alt(const Dir &d, int64_t n, int len, const uint8_t *s,
                      int32_t *k0, int32_t *l0) {
   int64_t k = *k0, l = *l0;
+  FQ_PROF_INC(exact_alt_steps, len);
   for (int i = len - 1; i >= 0; --i) {
     int c = s[i];
     if (c > 3) return false;
@@ -584,12 +606,17 @@ int match_gap(const Index &idx, int len, const uint8_t *seqs[2], Width *w[2],
   if (n_n > max_diff) return 0;
 
   stack.reset();
+#ifdef FQ_PROF_COUNTERS
+  g_prof_cutoff = 0x7FFFFFFF;
+#endif
   stack.push(0, 0, len, 0, (int32_t)n, 0, 0, 0, 0, false);
   stack.push(0, 1, len, 0, (int32_t)n, 0, 0, 0, 0, false);
 
   while (stack.n_entries) {
     if (stack.n_entries > opt.max_entries) break;
     Entry e = stack.pop();
+    FQ_PROF_INC(pops, 1);
+    FQ_PROF_INC(pops_posthit, n_aln > 0 ? 1 : 0);
     int32_t k = e.k, l = e.l;
     int a = (e.info >> 20) & 1;
     int i = e.info & 0xFFFF;
@@ -630,6 +657,9 @@ int match_gap(const Index &idx, int len, const uint8_t *seqs[2], Width *w[2],
         best_diff = e.n_mm + e.n_gapo;
         if (opt.mode_gape) best_diff += e.n_gape;
         max_diff = best_diff + 1 > opt.max_diff ? opt.max_diff : best_diff + 1;
+#ifdef FQ_PROF_COUNTERS
+        g_prof_cutoff = best_score + opt.s_mm;
+#endif
       }
       if (score == best_score)
         best_cnt += l - k + 1;
@@ -660,6 +690,19 @@ int match_gap(const Index &idx, int len, const uint8_t *seqs[2], Width *w[2],
     }
 
     --i;
+#ifdef FQ_PROF_COUNTERS
+    ++g_prof.occ_calls;
+    if (n_aln > 0) {
+      int cut = best_score + opt.s_mm;
+      int mm_sc = aln_score(opt, e.n_mm + 1, e.n_gapo, e.n_gape);
+      int go_sc = aln_score(opt, e.n_mm, e.n_gapo + 1, e.n_gape);
+      int ge_sc = aln_score(opt, e.n_mm, e.n_gapo, e.n_gape + 1);
+      bool gap_live = (e.state == STATE_M)
+                          ? (e.n_gapo < opt.max_gapo && go_sc <= cut)
+                          : (e.n_gape < opt.max_gape && ge_sc <= cut);
+      if (mm_sc > cut && !gap_live) ++g_prof.occ_dead;
+    }
+#endif
     int32_t cnt_k[4], cnt_l[4];
     if (k == l) {
       // single row: only its own BWT char survives any extension; fill

@@ -94,7 +94,22 @@ int main(int argc, char **argv) {
   std::vector<int32_t> out_n(w.B);
   std::vector<int32_t> out((size_t)w.B * OUT_CAP * 7);
 
-  if (use_threads) {  // measure the production threaded entry point
+  auto result_hash = [&]() {
+    // FNV-1a over (out_n, hit rows) so engine changes can prove identity
+    uint64_t h = 1469598103934665603ull;
+    auto mix = [&h](int32_t v) {
+      h ^= (uint32_t)v;
+      h *= 1099511628211ull;
+    };
+    for (int b = 0; b < w.B; ++b) {
+      mix(out_n[b]);
+      int nn = out_n[b] < 0 ? OUT_CAP : out_n[b];
+      for (int j = 0; j < nn * 7; ++j) mix(out[(size_t)b * OUT_CAP * 7 + j]);
+    }
+    return h;
+  };
+
+  if (use_threads == 1) {  // measure the production threaded entry point
     double t0 = now();
     for (int rep = 0; rep < reps; ++rep)
       aln_batch(idx, w.seqs.data(), w.lens.data(), w.mds.data(), w.B, w.L, 3,
@@ -103,7 +118,27 @@ int main(int argc, char **argv) {
     double dt = now() - t0;
     long long nh = 0;
     for (int b = 0; b < w.B; ++b) nh += out_n[b] > 0;
+    fprintf(stderr, "result hash: %016llx\n",
+            (unsigned long long)result_hash());
     fprintf(stderr, "threaded: reps=%d reads=%d hits=%lld %.3fs  %.0f reads/s\n",
+            reps, w.B, nh, dt, (double)w.B * reps / dt);
+    aln_destroy(idx);
+    return 0;
+  }
+
+  if (use_threads == 2) {  // single-thread production path (group widths)
+    double t0 = now();
+    for (int rep = 0; rep < reps; ++rep)
+      aln_batch_range(idx, w.seqs.data(), w.lens.data(), w.mds.data(), 0,
+                      w.B, w.L, opt, opt.seed_len, out_n.data(), out.data(),
+                      OUT_CAP);
+    double dt = now() - t0;
+    long long nh = 0;
+    for (int b = 0; b < w.B; ++b) nh += out_n[b] > 0;
+    fprintf(stderr, "result hash: %016llx\n",
+            (unsigned long long)result_hash());
+    fprintf(stderr,
+            "range: reps=%d reads=%d hits=%lld %.3fs  %.0f reads/s/core\n",
             reps, w.B, nh, dt, (double)w.B * reps / dt);
     aln_destroy(idx);
     return 0;
@@ -159,6 +194,15 @@ int main(int argc, char **argv) {
     for (int j = 0; j < nn * 7; ++j) mix(out[(size_t)b * OUT_CAP * 7 + j]);
   }
   fprintf(stderr, "result hash: %016llx\n", (unsigned long long)h);
+#ifdef FQ_PROF_COUNTERS
+  fprintf(stderr,
+          "counters: pops=%lld (post-hit %.1f%%) pushes=%lld (dead %.1f%%) "
+          "occ=%lld (dead %.1f%%) exact_alt_steps=%lld\n",
+          g_prof.pops, 100.0 * g_prof.pops_posthit / g_prof.pops,
+          g_prof.pushes, 100.0 * g_prof.pushes_dead / g_prof.pushes,
+          g_prof.occ_calls, 100.0 * g_prof.occ_dead / g_prof.occ_calls,
+          g_prof.exact_alt_steps);
+#endif
   double total = t_width + t_search;
   fprintf(stderr,
           "reps=%d reads=%d hits=%lld  width=%.3fs (%.1f%%)  "
