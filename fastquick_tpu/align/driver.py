@@ -54,7 +54,7 @@ from .pe import (
 )
 from .rand import Rand48
 from .refine import (
-    bwa_cal_md1,
+    bwa_cal_md1_batch,
     bwa_correct_trimmed,
     pos_end,
     refine_gapped_core,
@@ -419,12 +419,9 @@ class PairEndMapper:
                 ext = (1 if s.strand else -1) * (s.n_gapo + s.n_gape)
                 s.cigar, s.pos = refine_gapped_core(text, s.len, seq, s.pos, ext)
                 s.n_cigar = len(s.cigar)
-        for s in reads:
-            if s.filtered:
-                continue
-            if s.type != BWA_TYPE_NO_MATCH:
-                seq = s.rseq if s.strand else s.seq
-                s.md, s.nm = bwa_cal_md1(s.cigar, s.len, s.pos, seq, text)
+        bwa_cal_md1_batch(
+            [(s, s.rseq if s.strand else s.seq) for s in reads
+             if not s.filtered and s.type != BWA_TYPE_NO_MATCH], text)
         for s in reads:
             # NB: the reference's trimming-correction loop has NO filtered
             # check (bwase.c:415-416) -- filtered reads get their length

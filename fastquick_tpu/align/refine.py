@@ -87,6 +87,71 @@ def bwa_cal_md1(cigar: Cigar | None, length: int, pos: int, seq: np.ndarray,
     return _bwa_cal_md1_py(cigar, length, pos, seq, text)
 
 
+def bwa_cal_md1_batch(items, text: np.ndarray) -> None:
+    """Set s.md, s.nm for each (read, oriented-seq) pair with ONE native
+    md_nm_batch call (flattened cigars/seqs); the per-read ctypes +
+    numpy marshalling of bwa_cal_md1 dominates at batch scale."""
+    from ..native import get_sw_lib
+
+    lib = get_sw_lib()
+    n = len(items)
+    if n == 0:
+        return
+    if lib is None or not hasattr(lib, "md_nm_batch"):
+        for s, seq in items:
+            s.md, s.nm = _bwa_cal_md1_py(s.cigar, s.len, s.pos, seq, text)
+        return
+    import ctypes
+
+    cig_off = np.zeros(n, np.int64)
+    cig_n = np.zeros(n, np.int32)
+    lens = np.zeros(n, np.int32)
+    poses = np.zeros(n, np.int64)
+    seq_off = np.zeros(n, np.int64)
+    cig_flat: list[int] = []
+    seq_parts = []
+    off = 0
+    maxlen = 1
+    for i, (s, seq) in enumerate(items):
+        c = s.cigar
+        if c:
+            cig_off[i] = len(cig_flat)
+            cig_n[i] = len(c)
+            for op, ln in c:
+                cig_flat.append((op << 28) | ln)
+        lens[i] = s.len
+        poses[i] = s.pos
+        seq_off[i] = off
+        seq_parts.append(np.ascontiguousarray(seq[: s.len], dtype=np.uint8))
+        off += s.len
+        if s.len > maxlen:
+            maxlen = s.len
+    seqs = (np.concatenate(seq_parts) if seq_parts
+            else np.zeros(1, np.uint8))
+    cig = np.asarray(cig_flat, dtype=np.uint32)
+    if cig.size == 0:
+        cig = np.zeros(1, np.uint32)
+    stride = 2 * maxlen + 32
+    buf = ctypes.create_string_buffer(n * stride)
+    nm = np.zeros(n, np.int32)
+    cp = ctypes.c_void_p
+    lib.md_nm_batch(
+        cig.ctypes.data_as(cp), cig_off.ctypes.data_as(cp),
+        cig_n.ctypes.data_as(cp), seqs.ctypes.data_as(cp),
+        seq_off.ctypes.data_as(cp), lens.ctypes.data_as(cp),
+        poses.ctypes.data_as(cp), text.ctypes.data_as(cp),
+        len(text), buf, stride, nm.ctypes.data_as(cp), n)
+    raw = buf.raw
+    for i, (s, seq) in enumerate(items):
+        v = int(nm[i])
+        if v < 0:  # cap overflow: per-read fallback (never with 2L+32)
+            s.md, s.nm = _bwa_cal_md1_py(s.cigar, s.len, s.pos, seq, text)
+        else:
+            o = i * stride
+            s.md = raw[o:raw.index(0, o)].decode("ascii")
+            s.nm = v
+
+
 def _bwa_cal_md1_py(cigar: Cigar | None, length: int, pos: int,
                     seq: np.ndarray, text: np.ndarray) -> tuple[str, int]:
     """Pure-python MD/NM (reference implementation + fallback)."""

@@ -70,6 +70,10 @@ def get_sw_lib():
                               ctypes.c_longlong, ctypes.c_void_p,
                               ctypes.c_void_p, ctypes.c_longlong,
                               ctypes.c_char_p, ctypes.c_int]
+        lib.md_nm_batch.restype = None
+        lib.md_nm_batch.argtypes = [ctypes.c_void_p] * 7 + [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
         _sw_lib = lib
     except Exception as e:  # pragma: no cover
         print(f"[fastquick_tpu.native] native sw unavailable: {e}",

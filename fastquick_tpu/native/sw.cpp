@@ -672,4 +672,19 @@ int md_nm(const uint32_t *cigar, int n_cigar, int len, long long pos,
 #undef PUTC
 }
 
+// One call for a whole batch's MD/NM (bwa_refine_gapped's per-read
+// bwa_cal_md1 loop): flattened cigars/seqs with per-read offsets, MD
+// strings written NUL-terminated at fixed stride.  Removes the ~5us/read
+// Python+ctypes marshalling and keeps the loop off the GIL.
+void md_nm_batch(const uint32_t *cig, const int64_t *cig_off,
+                 const int32_t *cig_n, const uint8_t *seqs,
+                 const int64_t *seq_off, const int32_t *lens,
+                 const int64_t *poses, const uint8_t *text, long long l_pac,
+                 char *md_out, int stride, int32_t *nm_out, int n) {
+  for (int i = 0; i < n; ++i)
+    nm_out[i] = md_nm(cig + cig_off[i], cig_n[i], lens[i], poses[i],
+                      seqs + seq_off[i], text, l_pac, md_out + (size_t)i * stride,
+                      stride);
+}
+
 }  // extern "C"
