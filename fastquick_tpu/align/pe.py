@@ -98,7 +98,11 @@ def infer_isize(pairs: list[tuple[Read, Read]], ii: IsizeInfo,
     xs = [v for v in isizes if ii.low <= v <= ii.high]
     n = len(xs)
     ii.avg = sum(xs) / n
-    var = sum((v - ii.avg) ** 2 for v in xs)
+    # C quirk (bwape.c:85,88): ii->std is initialized to -1.0 at the top
+    # and the variance loop accumulates into it WITHOUT zeroing first, so
+    # the reference's variance sum is (sum of squares) - 1.0.  Verified
+    # against the compiled reference by tests/test_ref_differential.py.
+    var = -1.0 + sum((v - ii.avg) ** 2 for v in xs)
     ii.std = math.sqrt(var / n)
     y = 1.0
     while y < 10.0:
