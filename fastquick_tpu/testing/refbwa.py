@@ -107,6 +107,11 @@ def get_lib():
     lib.rb_infer_isize.restype = c.c_int32
     lib.rb_infer_isize.argtypes = [c.c_int32] + [c.c_void_p] * 10 + \
         [c.c_double, c.c_int64, c.c_void_p]
+    lib.rb_pairing.restype = c.c_int32
+    lib.rb_pairing.argtypes = [c.c_void_p, c.c_int32, c.c_void_p,
+                               c.c_int32, c.c_void_p, c.c_int32,
+                               c.c_void_p, c.c_int32, c.c_int32,
+                               c.c_void_p]
     _lib = lib
     return lib
 
@@ -196,6 +201,23 @@ def aln_local(ref: np.ndarray, read: np.ndarray, band: int):
                              _vp(o[0]), _vp(o[1]), _vp(o[2]), _vp(o[3]))
     return int(score), (int(o[0][0]), int(o[1][0]), int(o[2][0]),
                         int(o[3][0]))
+
+
+def pairing(aln0: np.ndarray, aln1: np.ndarray, arr: np.ndarray,
+            p_fields: np.ndarray, s_mm: int, max_isize: int,
+            ii6: np.ndarray):
+    """Reference pairing() (bwape.c:119).  p_fields: (2, 10) int64 rows
+    [pos, strand, mapQ, seQ, extra_flag, n_mm, n_gapo, n_gape, score,
+    full_len], updated in place.  Returns (cnt_chg, p_fields)."""
+    lib = get_lib()
+    a0 = np.ascontiguousarray(aln0, dtype=np.int32)
+    a1 = np.ascontiguousarray(aln1, dtype=np.int32)
+    ar = np.ascontiguousarray(arr, dtype=np.uint64)
+    pf = np.ascontiguousarray(p_fields, dtype=np.int64).copy()
+    ii = np.ascontiguousarray(ii6, dtype=np.float64)
+    cnt = lib.rb_pairing(_vp(a0), len(a0), _vp(a1), len(a1), _vp(ar),
+                         len(ar), _vp(pf), s_mm, max_isize, _vp(ii))
+    return int(cnt), pf
 
 
 def infer_isize(pairs: dict, ap_prior: float, L: int):

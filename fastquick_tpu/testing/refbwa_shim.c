@@ -392,6 +392,94 @@ int32_t rb_infer_isize(int32_t n, const int64_t *pos0, const int64_t *pos1,
     return ret;
 }
 
+/* pairing differential (libbwa/bwape.c:119-215, BWA_PET_STD).
+ * alnN: nN x 7 int32 rows per end; arr: pre-built pos<<32|idx<<1|end
+ * keys; p_fields: 2 x 10 int64 in/out rows
+ * [pos, strand, mapQ, seQ, extra_flag, n_mm, n_gapo, n_gape, score,
+ *  full_len]; ii6: [avg, std, low, high, high_bayesian, ap_prior].
+ * Returns cnt_chg. */
+int32_t rb_pairing(const int32_t *aln0, int32_t n0, const int32_t *aln1,
+                   int32_t n1, const uint64_t *arr, int32_t n_arr,
+                   int64_t *p_fields, int32_t s_mm, int32_t max_isize,
+                   const double *ii6)
+{
+    pe_data_t d;
+    pe_opt_t *popt = bwa_init_pe_opt();
+    isize_info_t ii;
+    bwa_seq_t s[2];
+    bwa_seq_t *p[2];
+    const int32_t *rows[2];
+    int32_t ns[2];
+    int e, i, cnt;
+
+    bwase_initialize(); /* fills g_log_n used by the pair mapQ rules */
+    memset(&d, 0, sizeof(d));
+    rows[0] = aln0;
+    rows[1] = aln1;
+    ns[0] = n0;
+    ns[1] = n1;
+    for (e = 0; e < 2; ++e) {
+        d.aln[e].n = d.aln[e].m = ns[e];
+        d.aln[e].a = (bwt_aln1_t *)calloc(ns[e] > 0 ? ns[e] : 1,
+                                          sizeof(bwt_aln1_t));
+        for (i = 0; i < ns[e]; ++i) {
+            d.aln[e].a[i].n_mm = rows[e][i * 7 + 0];
+            d.aln[e].a[i].n_gapo = rows[e][i * 7 + 1];
+            d.aln[e].a[i].n_gape = rows[e][i * 7 + 2];
+            d.aln[e].a[i].a = rows[e][i * 7 + 3];
+            d.aln[e].a[i].k = (bwtint_t)rows[e][i * 7 + 4];
+            d.aln[e].a[i].l = (bwtint_t)rows[e][i * 7 + 5];
+            d.aln[e].a[i].score = rows[e][i * 7 + 6];
+        }
+    }
+    d.arr.n = d.arr.m = n_arr;
+    d.arr.a = (uint64_t *)malloc((n_arr > 0 ? n_arr : 1) * 8);
+    memcpy(d.arr.a, arr, (size_t)n_arr * 8);
+    memset(s, 0, sizeof(s));
+    for (e = 0; e < 2; ++e) {
+        int64_t *f = p_fields + e * 10;
+        s[e].pos = (bwtint_t)f[0];
+        s[e].strand = (int)f[1];
+        s[e].mapQ = (int)f[2];
+        s[e].seQ = (int)f[3];
+        s[e].extra_flag = (int)f[4];
+        s[e].n_mm = (int)f[5];
+        s[e].n_gapo = (int)f[6];
+        s[e].n_gape = (int)f[7];
+        s[e].score = (int)f[8];
+        s[e].len = s[e].full_len = s[e].clip_len = (int)f[9];
+        p[e] = &s[e];
+    }
+    popt->max_isize = max_isize;
+    popt->type = BWA_PET_STD;
+    memset(&ii, 0, sizeof(ii));
+    ii.avg = ii6[0];
+    ii.std = ii6[1];
+    ii.low = (bwtint_t)ii6[2];
+    ii.high = (bwtint_t)ii6[3];
+    ii.high_bayesian = (bwtint_t)ii6[4];
+    ii.ap_prior = ii6[5];
+    cnt = pairing(p, &d, popt, s_mm, &ii);
+    for (e = 0; e < 2; ++e) {
+        int64_t *f = p_fields + e * 10;
+        f[0] = (int64_t)s[e].pos;
+        f[1] = s[e].strand;
+        f[2] = s[e].mapQ;
+        f[3] = (int64_t)s[e].seQ;
+        f[4] = s[e].extra_flag;
+        f[5] = s[e].n_mm;
+        f[6] = s[e].n_gapo;
+        f[7] = s[e].n_gape;
+        f[8] = s[e].score;
+        f[9] = s[e].len;
+    }
+    free(d.aln[0].a);
+    free(d.aln[1].a);
+    free(d.arr.a);
+    free(popt);
+    return cnt;
+}
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif
