@@ -4,33 +4,37 @@ The reference's best-first search (libbwa/bwtgap.c:104-264) is a per-read
 priority loop: pop the lowest-score entry (LIFO within equal score),
 expand up to 9 children (gap open/extend, deletions, mismatches / exact),
 record SA-interval hits with top2 cutoffs.  This module runs the SAME
-discipline for a whole batch of reads in lockstep under jit:
+discipline for a whole batch of reads in lockstep under one jitted
+program, designed for throughput rather than as a correctness demo:
 
-- Flat per-read entry pools with a free-list allocator; pop order is kept
-  exactly C-equivalent via priority keys ``score << 20 | (SEQ_MAX - seq)``
-  (min score first, LIFO within a score because the global push counter is
-  monotonic).
+- Score-bucketed LIFO stacks exactly like C's gap_stack_t: per-lane
+  bucket heads + intra-pool ``next`` pointers make pop/push O(1) per
+  lane (the previous kernel ran an O(pool) argmin every step).
+- The bwt_match_exact_alt inner walk (libbwa/bwt.c) runs in a per-lane
+  *chain register* instead of queue entries: a lane in chain mode steps
+  the exact walk one base per iteration with zero pool traffic.  C runs
+  that walk inline within a single pop, so register order == C order.
 - C's slot-persistence of ``last_diff_pos`` (gap_push only writes it on
   diff pushes, bwtgap.c:58-60) reduces exactly to inheritance: a no-diff
   child is the only same-bucket push of its parent's expansion, so it
   always reuses the slot its parent vacated and therefore sees the
   parent's value.  We inherit explicitly.
-- The bwt_match_exact_alt inner walk (libbwa/bwt.c) is unrolled into
-  same-priority "chain" entries: a chain entry performs one exact step per
-  pop and, having the minimal score and the newest sequence number, is
-  popped immediately next -- order-identical to the C inner loop.
-- Forward/reverse indexes are stacked so the per-entry strand bit selects
-  the index by gather (see ops/fm.py).
+- Two-level loop with lane refill: an inner fixed-trip loop runs the
+  cheap per-pop body; an outer while loop flushes finished lanes' hits
+  to per-read output buffers and refills the lanes with fresh reads, so
+  a batch stays dense even though per-read work varies by 100x.
+- Forward/reverse indexes are stacked so the per-entry strand bit
+  selects the index by gather (see ops/fm.py).
 
-Reads that exceed the pool (NP live entries), the hit cap (A_MAX) or the
-iteration cap fall back to the exact native/host engine, so results are
-always exact; the pools only bound the fast path.
+Reads that exceed the pool (NP live entries), the hit cap (A_MAX), the
+bucket range or the per-lane step cap fall back to the exact native/host
+engine, so results are always exact; the pools only bound the fast path.
 """
 
 from __future__ import annotations
 
 import functools
-
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,143 +46,210 @@ from ..align.opts import GapOpt, bwa_cal_maxdiff
 from ..index.builder import ReducedIndex
 from .fm import DeviceFM, cal_width, occ4
 
-STATE_M, STATE_I, STATE_D, STATE_CHAIN = 0, 1, 2, 3
+STATE_M, STATE_I, STATE_D = 0, 1, 2
 
-NP = 4096  # pool entries per read
 A_MAX = 48  # max recorded hits per read
-SEQ_MAX = 1 << 20
-PRIO_INF = np.int32(2**31 - 1)
-F_K, F_L, F_INFO, F_MM, F_GO, F_GE, F_ST, F_LDP = range(8)
+NBUCK = 128  # score buckets (init best_score + s_mm + s_gapo < 128 always)
+F_K, F_L, F_AI, F_MM, F_GO, F_GE, F_LDP, F_NEXT = range(8)
+
+# tunables (static; env-overridable for on-chip experiments)
+DEF_LANES = int(os.environ.get("FQ_BS_LANES", 1024))
+DEF_POOL = int(os.environ.get("FQ_BS_POOL", 1024))
+DEF_INNER = int(os.environ.get("FQ_BS_INNER", 32))
+
+
+def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
+    return mm * s_mm + go * s_gapo + ge * s_gape
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "s_mm", "s_gapo", "s_gape",
-                     "max_gapo", "max_gape", "indel_end_skip", "max_del_occ",
-                     "max_entries", "max_top2", "seed_len", "max_seed_diff",
-                     "n_text"))
+    static_argnames=("B", "NP", "K_INNER", "step_cap", "s_mm", "s_gapo",
+                     "s_gape", "max_gapo", "max_gape", "indel_end_skip",
+                     "max_del_occ", "max_entries", "max_top2", "seed_len",
+                     "max_seed_diff", "n_text"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
-                   seqs, lens, max_diff0, w0, seed_w0, use_seed,
-                   max_iters, s_mm, s_gapo, s_gape, max_gapo, max_gape,
-                   indel_end_skip, max_del_occ, max_entries, max_top2,
-                   seed_len, max_seed_diff, n_text):
-    """seqs: (B, 2, L) int32; lens: (B,); max_diff0: (B,);
-    w0: (B, 2, L+1, 2); seed_w0: (B, 2, seed_len+1, 2); use_seed: (B,)."""
+                   seqs_all, lens_all, md_all, use_seed_all,
+                   B, NP, K_INNER, step_cap, s_mm, s_gapo, s_gape,
+                   max_gapo, max_gape, indel_end_skip, max_del_occ,
+                   max_entries, max_top2, seed_len, max_seed_diff, n_text):
+    """seqs_all: (N, 2, L) int32 (4 = N / pad); lens_all, md_all: (N,);
+    md_all < 0 marks padding rows.  Returns per-read
+    (n_aln, alns, fallback, n_outer_rounds)."""
     fm = DeviceFM(words=words, occ=occ_ckpt, sa=sa, L2=L2, primary=primary,
                   n=n_text)
-    B, _, L = seqs.shape
+    N, _, L = seqs_all.shape
     binds = jnp.arange(B)
+    n = jnp.int32(n_text)
 
-    pool0 = jnp.zeros((B, NP, 8), dtype=jnp.int32)
-    prio0 = jnp.full((B, NP), PRIO_INF, dtype=jnp.int32)
-    # free list: slot ids NP-1..0 (top at index NP-1 popped first -> slot 0)
-    freelist0 = jnp.broadcast_to(jnp.arange(NP - 1, -1, -1, dtype=jnp.int32),
-                                 (B, NP))
-    # initial pushes: a=0 (seq 0) then a=1 (seq 1), both score 0
-    e0 = jnp.stack([jnp.zeros(B, jnp.int32), jnp.full(B, n_text, jnp.int32),
-                    lens, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-                    jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-                    jnp.zeros(B, jnp.int32)], axis=1)
-    e1 = e0.at[:, F_INFO].set((1 << 20) | lens)
-    pool0 = pool0.at[:, 0, :].set(e0).at[:, 1, :].set(e1)
-    prio0 = prio0.at[:, 0].set(SEQ_MAX - 1).at[:, 1].set(SEQ_MAX - 2)
-    free_top0 = jnp.full(B, NP - 2, jnp.int32)  # slots 0,1 taken
+    # ---- whole-batch precompute (vectorized scans) ----
+    w0_all = jnp.stack(
+        [cal_width(fm, 0, seqs_all[:, 0, :], lens_all),
+         cal_width(fm, 1, seqs_all[:, 1, :], lens_all)], axis=1)
+    # seed widths over the last seed_len bases (only meaningful where
+    # use_seed; gather the seed slice per read)
+    spos = (jnp.clip(lens_all - seed_len, 0, L)[:, None]
+            + jnp.arange(seed_len)[None, :])
+    sidx = jnp.clip(spos, 0, L - 1)
+    seed_seqs = jnp.where(
+        use_seed_all[:, None, None],
+        jnp.take_along_axis(seqs_all, sidx[:, None, :].repeat(2, 1), axis=2),
+        4)
+    sl_lens = jnp.full(N, seed_len, jnp.int32)
+    seed_w_all = jnp.stack(
+        [cal_width(fm, 0, seed_seqs[:, 0], sl_lens),
+         cal_width(fm, 1, seed_seqs[:, 1], sl_lens)], axis=1)
+    n_n_all = ((seqs_all[:, 0, :] > 3)
+               & (jnp.arange(L)[None, :] < lens_all[:, None])).sum(axis=1)
 
-    n_n = ((seqs[:, 0, :] > 3)
-           & (jnp.arange(L)[None, :] < lens[:, None])).sum(axis=1)
-    too_many_n = n_n > max_diff0
+    # per-read outputs
+    out_n = jnp.zeros(N + 1, jnp.int32)
+    out_alns = jnp.zeros((N + 1, A_MAX, 7), jnp.int32)
+    out_fb = jnp.zeros(N + 1, bool)
 
-    init = dict(
-        pool=pool0, prio=prio0, freelist=freelist0, free_top=free_top0,
-        gseq=jnp.full(B, 2, jnp.int32),
-        n_entries=jnp.full(B, 2, jnp.int32),
-        w=w0, seed_w=seed_w0,
-        best_score=(max_diff0 + 1) * s_mm + (max_gapo + 1) * s_gapo
-        + (max_gape + 1) * s_gape,
-        max_diff=max_diff0, best_cnt=jnp.zeros(B, jnp.int32),
-        n_aln=jnp.zeros(B, jnp.int32),
-        alns=jnp.zeros((B, A_MAX, 7), jnp.int32),
-        done=too_many_n, overflow=jnp.zeros(B, bool),
-        it=jnp.int32(0))
+    iota_np = jnp.arange(NP - 1, -1, -1, dtype=jnp.int32)
 
-    def cond(st):
-        return (st["it"] < max_iters) & jnp.any(~st["done"])
+    def fresh_lane_state(read_ids):
+        """State for lanes starting reads read_ids (may be >= N: idle)."""
+        r = jnp.clip(read_ids, 0, N - 1)
+        valid = (read_ids < N) & (md_all[r] >= 0)
+        lens = jnp.where(valid, lens_all[r], 0)
+        md = jnp.where(valid, md_all[r], 0)
+        dead = ~valid | (n_n_all[r] > md)
+        # slot 0 = (a=0, i=len), slot 1 = (a=1, i=len); head -> slot 1
+        e0 = jnp.stack([jnp.zeros_like(lens), jnp.full_like(lens, n),
+                        lens, jnp.zeros_like(lens), jnp.zeros_like(lens),
+                        jnp.zeros_like(lens), jnp.zeros_like(lens),
+                        jnp.full_like(lens, -1)], axis=1)
+        e1 = e0.at[:, F_AI].set((1 << 20) | lens).at[:, F_NEXT].set(0)
+        pool = jnp.zeros((read_ids.shape[0], NP, 8), jnp.int32)
+        pool = pool.at[:, 0].set(e0).at[:, 1].set(e1)
+        heads = jnp.full((read_ids.shape[0], NBUCK), -1, jnp.int32)
+        heads = heads.at[:, 0].set(jnp.where(dead, -1, 1))
+        return dict(
+            read_idx=jnp.where(valid, read_ids, -1),
+            lens=lens, md0=md, max_diff=md,
+            use_seed=jnp.where(valid, use_seed_all[r], False),
+            pool=pool, heads=heads,
+            freelist=jnp.broadcast_to(iota_np, (read_ids.shape[0], NP)),
+            free_top=jnp.full_like(lens, NP - 2),
+            n_entries=jnp.where(dead, 0, 2),
+            best_score=(md + 1) * s_mm + (max_gapo + 1) * s_gapo
+            + (max_gape + 1) * s_gape,
+            best_cnt=jnp.zeros_like(lens),
+            n_aln=jnp.zeros_like(lens),
+            alns=jnp.zeros((read_ids.shape[0], A_MAX, 7), jnp.int32),
+            w_w=w0_all[r, :, :, 0], w_bid=w0_all[r, :, :, 1],
+            ch_on=jnp.zeros_like(valid),
+            ch=jnp.zeros((read_ids.shape[0], 8), jnp.int32),
+            done=dead, overflow=jnp.zeros_like(valid),
+            steps=jnp.zeros_like(lens))
 
-    def body(st):
-        pool, prio = st["pool"], st["prio"]
-        freelist, free_top = st["freelist"], st["free_top"]
-        w, seed_w = st["w"], st["seed_w"]
-        n_entries = st["n_entries"]
+    LANE_KEYS = ("read_idx", "lens", "md0", "max_diff", "use_seed", "pool",
+                 "heads", "freelist", "free_top", "n_entries", "best_score",
+                 "best_cnt", "n_aln", "alns", "w_w", "w_bid", "ch_on", "ch",
+                 "done", "overflow", "steps")
+
+    def inner_step(st, _):
+        read_idx = st["read_idx"]
+        rclip = jnp.clip(read_idx, 0, N - 1)
         done = st["done"]
+        heads, pool = st["heads"], st["pool"]
+        freelist, free_top = st["freelist"], st["free_top"]
+        n_entries = st["n_entries"]
+        ch_on, ch = st["ch_on"], st["ch"]
+        w_w, w_bid = st["w_w"], st["w_bid"]
+        lens, md0, max_diff = st["lens"], st["md0"], st["max_diff"]
 
-        active = ~done & (n_entries > 0)
-        done = done | (~done & (n_entries == 0))
-        hit_cap = active & (n_entries > max_entries)
-        done = done | hit_cap
-        active = active & ~hit_cap
+        avail = ~done
+        work_chain = avail & ch_on
+        can_pop = avail & ~ch_on & (n_entries > 0)
+        done = done | (avail & ~ch_on & (n_entries == 0))
+        # C: break when n_entries > max_entries (keeps hits found so far)
+        hitcap = can_pop & (n_entries > max_entries)
+        done = done | hitcap
+        can_pop = can_pop & ~hitcap
 
-        # ---- pop: argmin priority ----
-        slot = jnp.argmin(prio, axis=1)  # (B,)
-        e = pool[binds, slot]
-        prio = prio.at[binds, slot].set(
-            jnp.where(active, PRIO_INF, prio[binds, slot]))
-        # return slot to free list
-        freelist = freelist.at[binds, jnp.clip(free_top, 0, NP - 1)].set(
-            jnp.where(active, slot, freelist[binds,
-                                             jnp.clip(free_top, 0, NP - 1)]))
-        free_top = free_top + active.astype(jnp.int32)
-        n_entries = n_entries - active.astype(jnp.int32)
+        # ---- pop: head of lowest nonempty bucket ----
+        hvalid = heads >= 0  # (B, NBUCK)
+        bucket = jnp.argmax(hvalid, axis=1).astype(jnp.int32)
+        slot = heads[binds, jnp.clip(bucket, 0, NBUCK - 1)]
+        slot_c = jnp.clip(slot, 0, NP - 1)
+        e = pool[binds, slot_c]  # (B, 8)
+        heads = heads.at[
+            binds, jnp.where(can_pop, bucket, NBUCK)].set(
+            e[:, F_NEXT], mode="drop")
+        freelist = freelist.at[
+            binds, jnp.where(can_pop, jnp.clip(free_top, 0, NP - 1), NP)
+        ].set(slot_c, mode="drop")
+        free_top = free_top + can_pop.astype(jnp.int32)
+        n_entries = n_entries - can_pop.astype(jnp.int32)
 
         k, l = e[:, F_K], e[:, F_L]
-        info = e[:, F_INFO]
-        a = (info >> 20) & 1
-        i = info & 0xFFFF
-        e_score = info >> 21
+        a = (e[:, F_AI] >> 20) & 1
+        i = e[:, F_AI] & 0xFFFF
+        state = e[:, F_AI] >> 21
         n_mm, n_gapo, n_gape = e[:, F_MM], e[:, F_GO], e[:, F_GE]
-        state, ldp = e[:, F_ST], e[:, F_LDP]
-        is_chain = state == STATE_CHAIN
+        ldp = e[:, F_LDP]
+        e_score = bucket
 
-        stop = active & (e_score > st["best_score"] + s_mm)
+        stop = can_pop & (e_score > st["best_score"] + s_mm)
         done = done | stop
-        active = active & ~stop
-
-        max_diff = st["max_diff"]
+        alive = can_pop & ~stop
         m = max_diff - (n_mm + n_gapo) - n_gape  # GAPE mode
-        alive = active & (m >= 0)
+        alive = alive & (m >= 0)
+        # width prune
+        wb_im1 = w_bid[binds, a, jnp.clip(i - 1, 0, L)]
+        alive = alive & ~((i > 0) & (m < wb_im1))
 
-        # width prune (skip for chain entries: the C exact walk has none)
-        w_im1 = w[binds, a, jnp.clip(i - 1, 0, L)]
-        alive = alive & ~(~is_chain & (i > 0) & (m < w_im1[:, 1]))
+        hit_i0 = alive & (i == 0)
+        start_chain = alive & (i > 0) & (m == 0)
+        expand = alive & ~hit_i0 & ~start_chain
 
-        sel = 1 - a
+        # ---- shared rank queries ----
+        # chain lanes use the register interval, popped lanes their own
+        ck_k = jnp.where(work_chain, ch[:, 0], k)
+        ck_l = jnp.where(work_chain, ch[:, 1], l)
+        cur_a = jnp.where(work_chain, ch[:, 3], a)
+        sel = 1 - cur_a
+        cnt_k = occ4(fm, sel, ck_k - 1)  # (B, 4)
+        cnt_l = occ4(fm, sel, ck_l)
 
-        # ---- chain stepping (bwt_match_exact_alt unroll) ----
-        start_chain = alive & ~is_chain & (i > 0) & (m == 0)  # GAPE mode
-        chain_step = start_chain | (alive & is_chain)
-        ci = jnp.clip(i - 1, 0, L - 1)
-        cc = jnp.take_along_axis(seqs[binds, a], ci[:, None], axis=1)[:, 0]
-        chain_bad = chain_step & (cc > 3)
-        cc4 = occ4(fm, sel, k - 1)
-        cl4 = occ4(fm, sel, l)
+        # ---- chain step (bwt_match_exact_alt, one base/iteration) ----
+        chainish = work_chain | start_chain
+        ch_i = jnp.where(work_chain, ch[:, 2], i)
+        ci = jnp.clip(ch_i - 1, 0, L - 1)
+        cc = seqs_all[rclip, cur_a, ci]
         ccl = jnp.clip(cc, 0, 3)
         L2c = L2[sel, ccl]
-        ck = L2c + jnp.take_along_axis(cc4, ccl[:, None], 1)[:, 0] + 1
-        cl = L2c + jnp.take_along_axis(cl4, ccl[:, None], 1)[:, 0]
-        chain_dead = chain_step & (chain_bad | (ck > cl))
-        chain_cont = chain_step & ~chain_dead & (i - 1 > 0)
-        chain_hit = chain_step & ~chain_dead & (i - 1 == 0)
+        nk = L2c + jnp.take_along_axis(cnt_k, ccl[:, None], 1)[:, 0] + 1
+        nl = L2c + jnp.take_along_axis(cnt_l, ccl[:, None], 1)[:, 0]
+        ch_dead = chainish & ((cc > 3) | (nk > nl))
+        ch_hit = chainish & ~ch_dead & (ch_i - 1 == 0)
+        ch_cont = chainish & ~ch_dead & ~ch_hit
+        new_ch = jnp.stack(
+            [nk, nl, ch_i - 1, cur_a,
+             jnp.where(start_chain, n_mm, ch[:, 4]),
+             jnp.where(start_chain, n_gapo, ch[:, 5]),
+             jnp.where(start_chain, n_gape, ch[:, 6]),
+             jnp.where(start_chain, ldp, ch[:, 7])], axis=1)
+        ch = jnp.where(chainish[:, None], new_ch, ch)
+        ch_on = ch_cont
 
         # ---- hits ----
-        hit_i0 = alive & ~is_chain & (i == 0)
-        hit = hit_i0 | chain_hit
-        hk = jnp.where(chain_hit, ck, k)
-        hl = jnp.where(chain_hit, cl, l)
-        score = e_score
+        hit = hit_i0 | ch_hit
+        hk = jnp.where(ch_hit, ch[:, 0], k)
+        hl = jnp.where(ch_hit, ch[:, 1], l)
+        hmm = jnp.where(ch_hit, ch[:, 4], n_mm)
+        hgo = jnp.where(ch_hit, ch[:, 5], n_gapo)
+        hge = jnp.where(ch_hit, ch[:, 6], n_gape)
+        ha = jnp.where(ch_hit, ch[:, 3], a)
+        hldp = jnp.where(ch_hit, ch[:, 7], ldp)
+        score = _aln_score(hmm, hgo, hge, s_mm, s_gapo, s_gape)
         first_hit = hit & (st["n_aln"] == 0)
         best_score = jnp.where(first_hit, score, st["best_score"])
-        best_diff = n_mm + n_gapo + n_gape
-        new_md = jnp.minimum(best_diff + 1, max_diff0)
-        max_diff = jnp.where(first_hit, new_md, max_diff)
+        max_diff = jnp.where(
+            first_hit, jnp.minimum(hmm + hgo + hge + 1, md0), max_diff)
         eq_best = hit & (score == best_score)
         best_cnt = st["best_cnt"] + jnp.where(eq_best, hl - hk + 1, 0)
         top2b = hit & ~eq_best & (st["best_cnt"] > max_top2)
@@ -187,43 +258,50 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         slots_used = jnp.arange(A_MAX)[None, :] < st["n_aln"][:, None]
         dup = ((st["alns"][:, :, 4] == hk[:, None])
                & (st["alns"][:, :, 5] == hl[:, None]) & slots_used).any(axis=1)
-        do_add = hit & ~((n_gapo > 0) & dup)
-        # gap_shadow on width array of strand a
+        do_add = hit & ~((hgo > 0) & dup)
+        # gap_shadow on the hit strand's width arrays (bwtgap.c:81-91)
         x = hl - hk + 1
         pos = jnp.arange(L + 1)[None, :]
-        wa = w[binds, a]
-        in_rng = (pos < ldp[:, None]) & do_add[:, None]
-        eqx = (wa[:, :, 0] == x[:, None]) & in_rng
+        ww_a = jnp.take_along_axis(
+            w_w, jnp.clip(ha, 0, 1)[:, None, None], axis=1)[:, 0]  # (B, L+1)
+        wb_a = jnp.take_along_axis(
+            w_bid, jnp.clip(ha, 0, 1)[:, None, None], axis=1)[:, 0]
+        in_rng = (pos < hldp[:, None]) & do_add[:, None]
+        eqx = (ww_a == x[:, None]) & in_rng
         jcum = jnp.cumsum(eqx.astype(jnp.int32), axis=1)
-        shadowed_w = jnp.where(
-            in_rng & (wa[:, :, 0] > x[:, None]), wa[:, :, 0] - x[:, None],
-            jnp.where(eqx, n_text - jcum, wa[:, :, 0]))
-        shadowed_bid = jnp.where(eqx, 1, wa[:, :, 1])
-        w = w.at[binds, a].set(jnp.stack([shadowed_w, shadowed_bid], axis=2))
-        arow = jnp.stack([n_mm, n_gapo, n_gape, a, hk, hl, score], axis=1)
+        ww_new = jnp.where(in_rng & (ww_a > x[:, None]), ww_a - x[:, None],
+                           jnp.where(eqx, n - jcum, ww_a))
+        wb_new = jnp.where(eqx, 1, wb_a)
+        upd = do_add[:, None]
+        w_w = w_w.at[binds, jnp.clip(ha, 0, 1)].set(
+            jnp.where(upd, ww_new, ww_a))
+        w_bid = w_bid.at[binds, jnp.clip(ha, 0, 1)].set(
+            jnp.where(upd, wb_new, wb_a))
+        arow = jnp.stack([hmm, hgo, hge, ha, hk, hl, score], axis=1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
         overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))
-        alns = st["alns"].at[binds, aslot].set(
-            jnp.where(do_add[:, None] & (st["n_aln"] < A_MAX)[:, None],
-                      arow, st["alns"][binds, aslot]))
-        n_aln = st["n_aln"] + (do_add & (st["n_aln"] < A_MAX)).astype(jnp.int32)
+        alns = st["alns"].at[
+            binds, jnp.where(do_add & (st["n_aln"] < A_MAX), aslot, A_MAX)
+        ].set(arow, mode="drop")
+        n_aln = st["n_aln"] + (do_add & (st["n_aln"] < A_MAX)).astype(
+            jnp.int32)
 
-        # ---- expansion (normal entries only) ----
-        expand = alive & ~is_chain & ~hit_i0 & ~start_chain
+        # ---- expansion ----
         i2 = i - 1
-        si = jnp.take_along_axis(
-            seqs[binds, a], jnp.clip(i2, 0, L - 1)[:, None], axis=1)[:, 0]
+        si = seqs_all[rclip, a, jnp.clip(i2, 0, L - 1)]
         occ_w = l - k + 1
-        w_i2m1 = w[binds, a, jnp.clip(i2 - 1, 0, L)]
-        w_i2 = w[binds, a, jnp.clip(i2, 0, L)]
-        allow_diff = ~((i2 > 0) & (w_i2m1[:, 1] > m - 1))
-        allow_m = ~((i2 > 0) & (w_i2m1[:, 1] == m - 1) & (w_i2[:, 1] == m - 1)
-                    & (w_i2m1[:, 0] == w_i2[:, 0]))
+        wb_i2m1 = w_bid[binds, a, jnp.clip(i2 - 1, 0, L)]
+        wb_i2 = w_bid[binds, a, jnp.clip(i2, 0, L)]
+        ww_i2m1 = w_w[binds, a, jnp.clip(i2 - 1, 0, L)]
+        ww_i2 = w_w[binds, a, jnp.clip(i2, 0, L)]
+        allow_diff = ~((i2 > 0) & (wb_i2m1 > m - 1))
+        allow_m = ~((i2 > 0) & (wb_i2m1 == m - 1) & (wb_i2 == m - 1)
+                    & (ww_i2m1 == ww_i2))
         msd = jnp.int32(max_seed_diff) - (n_mm + n_gapo) - n_gape
         ii = i2 - (lens - seed_len)
-        sw_iim1 = seed_w[binds, a, jnp.clip(ii - 1, 0, seed_len)]
-        sw_ii = seed_w[binds, a, jnp.clip(ii, 0, seed_len)]
-        seed_on = use_seed & (i2 > 0) & (ii > 0)
+        sw_iim1 = seed_w_all[rclip, a, jnp.clip(ii - 1, 0, seed_len)]
+        sw_ii = seed_w_all[rclip, a, jnp.clip(ii, 0, seed_len)]
+        seed_on = st["use_seed"] & (i2 > 0) & (ii > 0)
         allow_diff = allow_diff & ~(seed_on & (sw_iim1[:, 1] > msd - 1))
         allow_m = allow_m & ~(seed_on & (sw_iim1[:, 1] == msd - 1)
                               & (sw_ii[:, 1] == msd - 1)
@@ -232,56 +310,35 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         tmp = n_gapo + n_gape
         indel_ok = (expand & allow_diff & (i2 >= indel_end_skip + tmp)
                     & (lens - i2 >= indel_end_skip + tmp))
-
-        st2 = dict(pool=pool, prio=prio, freelist=freelist,
-                   free_top=free_top, gseq=st["gseq"], n_entries=n_entries,
-                   overflow=overflow)
-
-        def push(st2, mask, pa, pi, pk, pl, pmm, pgo, pge, pst, new_ldp):
-            score_p = pmm * s_mm + pgo * s_gapo + pge * s_gape
-            ft = st2["free_top"]
-            ovf = mask & ((ft <= 0) | (st2["gseq"] >= SEQ_MAX - 4))
-            mw = mask & ~ovf
-            fidx = jnp.clip(ft - 1, 0, NP - 1)
-            slot_p = st2["freelist"][binds, fidx]
-            slot_w = jnp.where(mw, slot_p, NP)  # out-of-range -> dropped
-            infop = (score_p << 21) | (pa << 20) | pi
-            row = jnp.stack([pk, pl, infop, pmm, pgo, pge, pst, new_ldp],
-                            axis=1)
-            st2["pool"] = st2["pool"].at[binds, slot_w, :].set(
-                row, mode="drop")
-            st2["prio"] = st2["prio"].at[binds, slot_w].set(
-                (score_p << 20) | (SEQ_MAX - 1 - st2["gseq"]), mode="drop")
-            st2["free_top"] = ft - mw.astype(jnp.int32)
-            st2["gseq"] = st2["gseq"] + mw.astype(jnp.int32)
-            st2["n_entries"] = st2["n_entries"] + mw.astype(jnp.int32)
-            st2["overflow"] = st2["overflow"] | ovf
-            return st2
-
-        # chain continuation (inherits parent ldp)
-        st2 = push(st2, chain_cont, a, i - 1, ck, cl, n_mm, n_gapo, n_gape,
-                   jnp.full(B, STATE_CHAIN, jnp.int32), ldp)
-        # 1. insertion open / extend (is_diff -> ldp = i2)
         ins_open = indel_ok & (state == STATE_M) & (n_gapo < max_gapo)
         ins_ext = indel_ok & (state == STATE_I) & (n_gape < max_gape)
-        st2 = push(st2, ins_open | ins_ext, a, i2, k, l, n_mm,
-                   n_gapo + ins_open.astype(jnp.int32),
-                   n_gape + ins_ext.astype(jnp.int32),
-                   jnp.full(B, STATE_I, jnp.int32), i2)
-        # 2-5. deletions (is_diff -> ldp = i2+1)
-        del_open = indel_ok & (state == STATE_M) & (n_gapo < max_gapo)
+        del_open = ins_open  # same gate as insertion in C (state M branch)
         del_ext = (indel_ok & (state == STATE_D) & (n_gape < max_gape)
                    & ((n_gapo + n_gape < max_diff) | (occ_w < max_del_occ)))
-        for j in range(4):
-            kj = L2[sel, j] + cc4[:, j] + 1
-            lj = L2[sel, j] + cl4[:, j]
-            okj = kj <= lj
-            st2 = push(st2, (del_open | del_ext) & okj, a, i2 + 1, kj, lj,
-                       n_mm, n_gapo + del_open.astype(jnp.int32),
-                       n_gape + del_ext.astype(jnp.int32),
-                       jnp.full(B, STATE_D, jnp.int32), i2 + 1)
-        # 6-9. mismatches / exact-only continuation (bwtgap.c:245-258)
         allow_mm = expand & allow_diff & allow_m
+
+        # children in C push order: ins, del j=0..3, mm j=1..4
+        cvalid, cscore, crows = [], [], []
+
+        def child(mask, pa, pi, pk, pl, pmm, pgo, pge, pst, pldp):
+            sc = _aln_score(pmm, pgo, pge, s_mm, s_gapo, s_gape)
+            cvalid.append(mask)
+            cscore.append(sc)
+            crows.append(jnp.stack(
+                [pk, pl, (pst << 21) | (pa << 20) | pi, pmm, pgo, pge, pldp],
+                axis=1))
+
+        child(ins_open | ins_ext, a, i2, k, l, n_mm,
+              n_gapo + ins_open.astype(jnp.int32),
+              n_gape + ins_ext.astype(jnp.int32),
+              jnp.full(B, STATE_I, jnp.int32), i2)
+        for j in range(4):
+            kj = L2[sel, j] + cnt_k[:, j] + 1
+            lj = L2[sel, j] + cnt_l[:, j]
+            child((del_open | del_ext) & (kj <= lj), a, i2 + 1, kj, lj,
+                  n_mm, n_gapo + del_open.astype(jnp.int32),
+                  n_gape + del_ext.astype(jnp.int32),
+                  jnp.full(B, STATE_D, jnp.int32), i2 + 1)
         for j in range(1, 5):
             c = (si + j) & 3
             if j == 4:
@@ -291,31 +348,120 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             else:
                 mask_j = allow_mm
                 is_mm_v = jnp.ones(B, bool)
-            kj = L2[sel, c] + jnp.take_along_axis(cc4, c[:, None], 1)[:, 0] + 1
-            lj = L2[sel, c] + jnp.take_along_axis(cl4, c[:, None], 1)[:, 0]
-            okj = kj <= lj
-            # no-diff pushes inherit the parent's ldp (slot-persistence)
-            new_ldp = jnp.where(is_mm_v, i2, ldp)
-            st2 = push(st2, mask_j & okj, a, i2, kj, lj,
-                       n_mm + (mask_j & is_mm_v).astype(jnp.int32), n_gapo,
-                       n_gape, jnp.full(B, STATE_M, jnp.int32), new_ldp)
+            kj = L2[sel, c] + jnp.take_along_axis(cnt_k, c[:, None], 1)[:, 0] + 1
+            lj = L2[sel, c] + jnp.take_along_axis(cnt_l, c[:, None], 1)[:, 0]
+            # no-diff pushes inherit the parent's ldp (slot persistence)
+            child(mask_j & (kj <= lj), a, i2, kj, lj,
+                  n_mm + (mask_j & is_mm_v).astype(jnp.int32), n_gapo,
+                  n_gape, jnp.full(B, STATE_M, jnp.int32),
+                  jnp.where(is_mm_v, i2, ldp))
 
-        return dict(pool=st2["pool"], prio=st2["prio"],
-                    freelist=st2["freelist"], free_top=st2["free_top"],
-                    gseq=st2["gseq"], n_entries=st2["n_entries"], w=w,
-                    seed_w=seed_w, best_score=best_score, max_diff=max_diff,
-                    best_cnt=best_cnt, n_aln=n_aln, alns=alns, done=done,
-                    overflow=st2["overflow"], it=st["it"] + 1)
+        NCH = len(cvalid)
+        valid = jnp.stack(cvalid, axis=1)  # (B, NCH)
+        scores = jnp.stack(cscore, axis=1)
+        # bucket-range / pool-capacity guards -> exact fallback
+        total = valid.sum(axis=1)
+        bad_score = (valid & (scores >= NBUCK)).any(axis=1)
+        no_room = total > free_top
+        ovf = (bad_score | no_room) & expand
+        overflow = overflow | ovf
+        done = done | ovf
+        valid = valid & ~ovf[:, None]
+        total = jnp.where(ovf, 0, total)
 
-    out = jax.lax.while_loop(cond, body, init)
-    fallback = out["overflow"] | ~out["done"]
-    return out["n_aln"], out["alns"], fallback, out["it"]
+        # allocate slots: rank among valid children (1-based)
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+        fidx = jnp.clip(free_top[:, None] - rank, 0, NP - 1)
+        slots = jnp.take_along_axis(freelist, fidx, axis=1)  # (B, NCH)
+        free_top = free_top - total
+        n_entries = n_entries + total
+
+        # next pointers: most recent earlier same-bucket child, else the
+        # (post-pop) bucket head; heads then point at the last same-bucket
+        # child (LIFO within bucket == C stack order)
+        heads_gather = jnp.take_along_axis(
+            heads, jnp.clip(scores, 0, NBUCK - 1), axis=1)  # (B, NCH)
+        nexts = []
+        for ci_ in range(NCH):
+            nx = heads_gather[:, ci_]
+            for cj in range(ci_):
+                nx = jnp.where(valid[:, cj] & (scores[:, cj] == scores[:, ci_]),
+                               slots[:, cj], nx)
+            nexts.append(nx)
+        nexts = jnp.stack(nexts, axis=1)
+        is_last = valid.copy()
+        for ci_ in range(NCH):
+            later = jnp.zeros(B, bool)
+            for cj in range(ci_ + 1, NCH):
+                later = later | (valid[:, cj]
+                                 & (scores[:, cj] == scores[:, ci_]))
+            is_last = is_last.at[:, ci_].set(valid[:, ci_] & ~later)
+
+        rows = jnp.concatenate(
+            [jnp.stack(crows, axis=1), nexts[:, :, None]], axis=2)  # (B,NCH,8)
+        pool = pool.at[
+            binds[:, None], jnp.where(valid, slots, NP)].set(
+            rows, mode="drop")
+        heads = heads.at[
+            binds[:, None],
+            jnp.where(is_last, jnp.clip(scores, 0, NBUCK - 1), NBUCK)].set(
+            slots, mode="drop")
+
+        # per-lane step cap -> exact fallback (guards pathological reads)
+        steps = st["steps"] + (~done).astype(jnp.int32)
+        capped = ~done & (steps > step_cap)
+        overflow = overflow | capped
+        done = done | capped
+
+        return dict(read_idx=read_idx, lens=lens, md0=md0, max_diff=max_diff,
+                    use_seed=st["use_seed"], pool=pool, heads=heads,
+                    freelist=freelist, free_top=free_top,
+                    n_entries=n_entries, best_score=best_score,
+                    best_cnt=best_cnt, n_aln=n_aln, alns=alns,
+                    w_w=w_w, w_bid=w_bid, ch_on=ch_on, ch=ch,
+                    done=done, overflow=overflow, steps=steps), None
+
+    def outer_cond(c):
+        return jnp.any(~c["lane"]["done"]) | (c["next_read"] < N)
+
+    def outer_body(c):
+        lane, _ = jax.lax.scan(inner_step, c["lane"], None, length=K_INNER)
+        # flush finished lanes
+        flush = lane["done"] & (lane["read_idx"] >= 0)
+        tgt = jnp.where(flush, lane["read_idx"], N)
+        out_n = c["out_n"].at[tgt].set(lane["n_aln"], mode="drop")
+        out_alns = c["out_alns"].at[tgt].set(lane["alns"], mode="drop")
+        out_fb = c["out_fb"].at[tgt].set(lane["overflow"], mode="drop")
+        # refill with the next unstarted reads
+        rank = jnp.cumsum(flush.astype(jnp.int32))
+        new_ids = jnp.where(flush, c["next_read"] + rank - 1, N)
+        fresh = fresh_lane_state(new_ids)
+        merged = {}
+        for key in LANE_KEYS:
+            fv, lv = fresh[key], lane[key]
+            mask = flush
+            mshape = (B,) + (1,) * (lv.ndim - 1)
+            merged[key] = jnp.where(mask.reshape(mshape), fv, lv)
+        return dict(lane=merged, next_read=c["next_read"] + rank[-1],
+                    out_n=out_n, out_alns=out_alns, out_fb=out_fb,
+                    rounds=c["rounds"] + 1)
+
+    lane0 = fresh_lane_state(jnp.arange(B, dtype=jnp.int32))
+    carry0 = dict(lane=lane0, next_read=jnp.int32(min(B, N)),
+                  out_n=out_n, out_alns=out_alns, out_fb=out_fb,
+                  rounds=jnp.int32(0))
+    # lanes beyond N started idle; account them as consumed
+    out = jax.lax.while_loop(outer_cond, outer_body, carry0)
+    return (out["out_n"][:N], out["out_alns"][:N], out["out_fb"][:N],
+            out["rounds"])
 
 
 class BatchEngine:
     """Batched device engine with exact native/host fallback."""
 
-    def __init__(self, idx: ReducedIndex, max_batch: int = 2048):
+    def __init__(self, idx: ReducedIndex, max_batch: int = 32768,
+                 lanes: int | None = None, pool: int | None = None,
+                 inner: int | None = None):
         self.idx = idx
         self.dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
         try:
@@ -325,6 +471,9 @@ class BatchEngine:
         except Exception:
             self.host = HostEngine(idx)
         self.max_batch = max_batch
+        self.lanes = lanes or DEF_LANES
+        self.pool = pool or DEF_POOL
+        self.inner = inner or DEF_INNER
         self.last_iters = 0
         self.last_fallback = 0
 
@@ -336,6 +485,8 @@ class BatchEngine:
             p.c1 = p.c2 = 0
             p.n_aln = 0
             p.aln = []
+        self.last_fallback = 0
+        self.last_iters = 0
         for s in range(0, len(todo), self.max_batch):
             self._run_chunk(todo[s:s + self.max_batch], opt)
 
@@ -344,10 +495,17 @@ class BatchEngine:
             return
         B = len(todo)
         Lmax = max(p.len for p in todo)
-        seqs = np.full((B, 2, Lmax), 4, dtype=np.int32)
-        lens = np.zeros(B, dtype=np.int32)
-        md = np.zeros(B, dtype=np.int32)
-        use_seed = np.zeros(B, dtype=bool)
+        # pad shapes to limit recompiles
+        Npad = 256
+        while Npad < B:
+            Npad *= 2
+        Lpad = 32
+        while Lpad < Lmax:
+            Lpad *= 2
+        seqs = np.full((Npad, 2, Lpad), 4, dtype=np.int32)
+        lens = np.zeros(Npad, dtype=np.int32)
+        md = np.full(Npad, -1, dtype=np.int32)  # -1 marks padding
+        use_seed = np.zeros(Npad, dtype=bool)
         for b, p in enumerate(todo):
             seqs[b, 0, : p.len] = p.seq[: p.len]
             seqs[b, 1, : p.len] = p.rseq[: p.len]
@@ -355,32 +513,16 @@ class BatchEngine:
             md[b] = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
                      if opt.fnr > 0.0 else opt.max_diff)
             use_seed[b] = p.len > opt.seed_len
-        batch_md = (bwa_cal_maxdiff(int(Lmax), thres=opt.fnr)
-                    if opt.fnr > 0.0 else opt.max_diff)
+        batch_md = int(md[:B].max())
         max_gapo = min(opt.max_gapo, batch_md)
 
-        seqs_j = jnp.asarray(seqs)
-        lens_j = jnp.asarray(lens)
-        w0 = jnp.stack([cal_width(self.dev, 0, seqs[:, 0, :], lens_j),
-                        cal_width(self.dev, 1, seqs[:, 1, :], lens_j)], axis=1)
-        sl = opt.seed_len
-        seed_seqs0 = np.full((B, sl), 4, dtype=np.int32)
-        seed_seqs1 = np.full((B, sl), 4, dtype=np.int32)
-        for b, p in enumerate(todo):
-            if use_seed[b]:
-                seed_seqs0[b] = seqs[b, 0, p.len - sl: p.len]
-                seed_seqs1[b] = seqs[b, 1, p.len - sl: p.len]
-        sl_lens = jnp.full(B, sl, jnp.int32)
-        seed_w0 = jnp.stack([cal_width(self.dev, 0, seed_seqs0, sl_lens),
-                             cal_width(self.dev, 1, seed_seqs1, sl_lens)],
-                            axis=1)
-
-        max_iters = 48 * Lmax
-        n_aln, alns, fallback, n_iters = _search_kernel(
+        lanes = min(self.lanes, Npad)
+        n_aln, alns, fallback, rounds = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
-            self.dev.primary, seqs_j, lens_j, jnp.asarray(md), w0, seed_w0,
-            jnp.asarray(use_seed),
-            max_iters=int(max_iters), s_mm=opt.s_mm,
+            self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
+            jnp.asarray(md), jnp.asarray(use_seed),
+            B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
+            step_cap=int(64 * Lpad), s_mm=opt.s_mm,
             s_gapo=opt.s_gapo, s_gape=opt.s_gape, max_gapo=int(max_gapo),
             max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,
             max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
@@ -389,8 +531,8 @@ class BatchEngine:
         n_aln = np.asarray(n_aln)
         alns = np.asarray(alns)
         fallback = np.asarray(fallback)
-        self.last_iters = int(n_iters)
-        self.last_fallback = int(fallback.sum())
+        self.last_iters += int(rounds) * int(self.inner)
+        self.last_fallback += int(fallback[:B].sum())
 
         fb_reads = []
         for b, p in enumerate(todo):
