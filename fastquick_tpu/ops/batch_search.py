@@ -67,12 +67,13 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
     static_argnames=("B", "NP", "K_INNER", "step_cap", "s_mm", "s_gapo",
                      "s_gape", "max_gapo", "max_gape", "indel_end_skip",
                      "max_del_occ", "max_entries", "max_top2", "seed_len",
-                     "max_seed_diff", "n_text"))
+                     "max_seed_diff", "n_text", "ablate"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
                    seqs_all, lens_all, md_all, use_seed_all,
                    B, NP, K_INNER, step_cap, s_mm, s_gapo, s_gape,
                    max_gapo, max_gape, indel_end_skip, max_del_occ,
-                   max_entries, max_top2, seed_len, max_seed_diff, n_text):
+                   max_entries, max_top2, seed_len, max_seed_diff, n_text,
+                   ablate=()):
     """seqs_all: (N, 2, L) int32 (4 = N / pad); lens_all, md_all: (N,);
     md_all < 0 marks padding rows.  Returns per-read
     (n_aln, alns, fallback, n_outer_rounds)."""
@@ -81,6 +82,21 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     N, _, L = seqs_all.shape
     binds = jnp.arange(B)
     n = jnp.int32(n_text)
+
+    # One-hot masked writes instead of XLA scatter: on TPU a 9-row/lane
+    # scatter measured 394us/iter while the equivalent fused iota-compare
+    # select runs at VPU/bandwidth speed (90us; see PARITY.md profile).
+    iota_pool = jnp.arange(NP)[None, :]
+    iota_buck = jnp.arange(NBUCK)[None, :]
+    iota_amax = jnp.arange(A_MAX)[None, :]
+
+    def oh_set(arr, col, val, mask):
+        """arr (B, W[, E]) <- val (B[, E]) at per-lane column where mask."""
+        iota = jnp.arange(arr.shape[1])[None, :]
+        m = (iota == col[:, None]) & mask[:, None]
+        if arr.ndim == 3:
+            return jnp.where(m[:, :, None], val[:, None, :], arr)
+        return jnp.where(m, val[:, None], arr)
 
     # ---- whole-batch precompute (vectorized scans) ----
     w0_all = jnp.stack(
@@ -175,13 +191,14 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         bucket = jnp.argmax(hvalid, axis=1).astype(jnp.int32)
         slot = heads[binds, jnp.clip(bucket, 0, NBUCK - 1)]
         slot_c = jnp.clip(slot, 0, NP - 1)
-        e = pool[binds, slot_c]  # (B, 8)
-        heads = heads.at[
-            binds, jnp.where(can_pop, bucket, NBUCK)].set(
-            e[:, F_NEXT], mode="drop")
-        freelist = freelist.at[
-            binds, jnp.where(can_pop, jnp.clip(free_top, 0, NP - 1), NP)
-        ].set(slot_c, mode="drop")
+        if "nopop" in ablate:  # profiling only
+            e = pool[:, 0] + slot_c[:, None]
+        else:
+            e = pool[binds, slot_c]  # (B, 8)
+        heads = oh_set(heads, jnp.clip(bucket, 0, NBUCK - 1), e[:, F_NEXT],
+                       can_pop)
+        freelist = oh_set(freelist, jnp.clip(free_top, 0, NP - 1), slot_c,
+                          can_pop)
         free_top = free_top + can_pop.astype(jnp.int32)
         n_entries = n_entries - can_pop.astype(jnp.int32)
 
@@ -212,8 +229,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         ck_l = jnp.where(work_chain, ch[:, 1], l)
         cur_a = jnp.where(work_chain, ch[:, 3], a)
         sel = 1 - cur_a
-        cnt_k = occ4(fm, sel, ck_k - 1)  # (B, 4)
-        cnt_l = occ4(fm, sel, ck_l)
+        if "noocc" in ablate:  # profiling only: results wrong
+            cnt_k = (ck_k[:, None] + jnp.arange(4)[None, :]) & 0xFF
+            cnt_l = (ck_l[:, None] + jnp.arange(4)[None, :]) & 0xFF
+        else:
+            cnt_k = occ4(fm, sel, ck_k - 1)  # (B, 4)
+            cnt_l = occ4(fm, sel, ck_l)
 
         # ---- chain step (bwt_match_exact_alt, one base/iteration) ----
         chainish = work_chain | start_chain
@@ -261,46 +282,56 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         do_add = hit & ~((hgo > 0) & dup)
         # gap_shadow on the hit strand's width arrays (bwtgap.c:81-91)
         x = hl - hk + 1
+        if "noshadow" in ablate:  # profiling only
+            do_add_sh = jnp.zeros_like(do_add)
+        else:
+            do_add_sh = do_add
         pos = jnp.arange(L + 1)[None, :]
         ww_a = jnp.take_along_axis(
             w_w, jnp.clip(ha, 0, 1)[:, None, None], axis=1)[:, 0]  # (B, L+1)
         wb_a = jnp.take_along_axis(
             w_bid, jnp.clip(ha, 0, 1)[:, None, None], axis=1)[:, 0]
-        in_rng = (pos < hldp[:, None]) & do_add[:, None]
+        in_rng = (pos < hldp[:, None]) & do_add_sh[:, None]
         eqx = (ww_a == x[:, None]) & in_rng
         jcum = jnp.cumsum(eqx.astype(jnp.int32), axis=1)
         ww_new = jnp.where(in_rng & (ww_a > x[:, None]), ww_a - x[:, None],
                            jnp.where(eqx, n - jcum, ww_a))
         wb_new = jnp.where(eqx, 1, wb_a)
-        upd = do_add[:, None]
-        w_w = w_w.at[binds, jnp.clip(ha, 0, 1)].set(
-            jnp.where(upd, ww_new, ww_a))
-        w_bid = w_bid.at[binds, jnp.clip(ha, 0, 1)].set(
-            jnp.where(upd, wb_new, wb_a))
+        sel_a = (jnp.arange(2)[None, :] == jnp.clip(ha, 0, 1)[:, None]
+                 ) & do_add_sh[:, None]  # (B, 2)
+        w_w = jnp.where(sel_a[:, :, None], ww_new[:, None, :], w_w)
+        w_bid = jnp.where(sel_a[:, :, None], wb_new[:, None, :], w_bid)
         arow = jnp.stack([hmm, hgo, hge, ha, hk, hl, score], axis=1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
         overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))
-        alns = st["alns"].at[
-            binds, jnp.where(do_add & (st["n_aln"] < A_MAX), aslot, A_MAX)
-        ].set(arow, mode="drop")
+        alns = oh_set(st["alns"], aslot, arow,
+                      do_add & (st["n_aln"] < A_MAX))
         n_aln = st["n_aln"] + (do_add & (st["n_aln"] < A_MAX)).astype(
             jnp.int32)
 
         # ---- expansion ----
         i2 = i - 1
         si = seqs_all[rclip, a, jnp.clip(i2, 0, L - 1)]
+        if "nowidthg" in ablate:  # profiling only
+            zz = jnp.zeros(B, jnp.int32)
         occ_w = l - k + 1
-        wb_i2m1 = w_bid[binds, a, jnp.clip(i2 - 1, 0, L)]
-        wb_i2 = w_bid[binds, a, jnp.clip(i2, 0, L)]
-        ww_i2m1 = w_w[binds, a, jnp.clip(i2 - 1, 0, L)]
-        ww_i2 = w_w[binds, a, jnp.clip(i2, 0, L)]
+        if "nowidthg" in ablate:
+            wb_i2m1 = wb_i2 = ww_i2m1 = ww_i2 = zz
+        else:
+            wb_i2m1 = w_bid[binds, a, jnp.clip(i2 - 1, 0, L)]
+            wb_i2 = w_bid[binds, a, jnp.clip(i2, 0, L)]
+            ww_i2m1 = w_w[binds, a, jnp.clip(i2 - 1, 0, L)]
+            ww_i2 = w_w[binds, a, jnp.clip(i2, 0, L)]
         allow_diff = ~((i2 > 0) & (wb_i2m1 > m - 1))
         allow_m = ~((i2 > 0) & (wb_i2m1 == m - 1) & (wb_i2 == m - 1)
                     & (ww_i2m1 == ww_i2))
         msd = jnp.int32(max_seed_diff) - (n_mm + n_gapo) - n_gape
         ii = i2 - (lens - seed_len)
-        sw_iim1 = seed_w_all[rclip, a, jnp.clip(ii - 1, 0, seed_len)]
-        sw_ii = seed_w_all[rclip, a, jnp.clip(ii, 0, seed_len)]
+        if "nowidthg" in ablate:
+            sw_iim1 = sw_ii = jnp.stack([zz, zz], axis=1)
+        else:
+            sw_iim1 = seed_w_all[rclip, a, jnp.clip(ii - 1, 0, seed_len)]
+            sw_ii = seed_w_all[rclip, a, jnp.clip(ii, 0, seed_len)]
         seed_on = st["use_seed"] & (i2 > 0) & (ii > 0)
         allow_diff = allow_diff & ~(seed_on & (sw_iim1[:, 1] > msd - 1))
         allow_m = allow_m & ~(seed_on & (sw_iim1[:, 1] == msd - 1)
@@ -399,13 +430,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
 
         rows = jnp.concatenate(
             [jnp.stack(crows, axis=1), nexts[:, :, None]], axis=2)  # (B,NCH,8)
-        pool = pool.at[
-            binds[:, None], jnp.where(valid, slots, NP)].set(
-            rows, mode="drop")
-        heads = heads.at[
-            binds[:, None],
-            jnp.where(is_last, jnp.clip(scores, 0, NBUCK - 1), NBUCK)].set(
-            slots, mode="drop")
+        if "nopush" not in ablate:  # ablation is profiling-only
+            for ci_ in range(NCH):
+                pool = oh_set(pool, slots[:, ci_], rows[:, ci_],
+                              valid[:, ci_])
+                heads = oh_set(heads, jnp.clip(scores[:, ci_], 0, NBUCK - 1),
+                               slots[:, ci_], is_last[:, ci_])
 
         # per-lane step cap -> exact fallback (guards pathological reads)
         steps = st["steps"] + (~done).astype(jnp.int32)
@@ -527,7 +557,10 @@ class BatchEngine:
             max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,
             max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
             max_top2=opt.max_top2, seed_len=opt.seed_len,
-            max_seed_diff=opt.max_seed_diff, n_text=self.dev.n)
+            max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
+            ablate=tuple(sorted(
+                x for x in os.environ.get("FQ_BS_ABLATE", "").split(",")
+                if x)))
         n_aln = np.asarray(n_aln)
         alns = np.asarray(alns)
         fallback = np.asarray(fallback)

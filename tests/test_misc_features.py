@@ -58,15 +58,62 @@ def test_report_generation(tmp_path):
             fh.write(f"{i}\t{max(0.0, 1 - abs(i - 350) / 300):.4f}\n")
     with open(prefix + ".Summary", "w") as fh:
         fh.write("Statistics : Value\nEstimated Read Depth : 5.0[5/1]\n")
+    with open(prefix + ".FASTQ.csv", "w") as fh:
+        fh.write("FASTQ_1,FASTQ_2\na.fq,b.fq\n")
+    with open(prefix + ".Sequence.csv", "w") as fh:
+        fh.write("FASTQ,Reads,Bases\na.fq,100,8000\n")
+    # tiny SVD panel + population labels for the ancestry panels
+    svd = str(tmp_path / "panel")
+    with open(svd + ".V", "w") as fh:
+        for i in range(8):
+            fh.write(f"S{i}\t{i * 0.01}\t{-i * 0.02}\t{i * 0.005}"
+                     f"\t{0.1 - i * 0.01}\n")
+    pop = str(tmp_path / "pops")
+    with open(pop, "w") as fh:
+        for i in range(8):
+            fh.write(f"S{i}\t{'CEU' if i % 2 else 'YRI'}\n")
+    with open(prefix + ".Ancestry", "w") as fh:
+        fh.write("PC\tContaminatingSample\tIntendedSample\n")
+        for i in range(4):
+            fh.write(f"{i + 1}\t0.0{i}\t0.0{i + 1}\n")
 
     from fastquick_tpu.report.report import generate_report
 
-    out = generate_report(prefix)
+    out = generate_report(prefix, svd_prefix=svd, pop_path=pop)
     assert os.path.exists(out)
     html = open(out).read()
-    assert "Depth Distribution" in html
-    assert "Insert Size" in html
-    assert "data:image/png;base64" in html
+    # rmd section layout (FinalReport.rmd:315-348)
+    for section in ["FASTQ File List", "Data Production by FASTQ file",
+                    "Depth Distribution", "Summary Statistics",
+                    "Summary Plot", "Genetic Ancestry Plot"]:
+        assert section in html, section
+    # two 2x2 figures + PC1/PC2 + PC3/PC4 = 4 images (10 panels)
+    assert html.count("data:image/png;base64") == 4
+
+
+def test_report_missing_input_fails(tmp_path):
+    from fastquick_tpu.report.report import ReportInputError, generate_report
+
+    with pytest.raises(ReportInputError):
+        generate_report(str(tmp_path / "nothing"))
+
+
+def test_report_find_bump_and_rebin():
+    from fastquick_tpu.report.report import create_den_dist, find_bump
+
+    # symmetric bump with noise spikes: window stops at 3 turning points
+    cnt = np.array([1, 9, 2, 8, 3, 7, 100, 7, 3, 8, 2, 9, 1], float)
+    lo, hi = find_bump(np.arange(13.0), cnt)
+    assert lo == 0 and hi == 12
+    # R create.DenDist drops the trailing partial bin, keeps (-1, 0) seed
+    pos = np.arange(0, 40, 2.0)
+    c = np.ones(20)
+    out = create_den_dist(pos, c)
+    assert out[0, 0] == -1
+    assert np.allclose(out[1:, 0], [0, 10, 20])  # 30s bin never flushed
+    # first bin double-counts row 1 (R seeds count with it AND loops
+    # from row 1) - quirk preserved
+    assert np.allclose(out[1:, 1], [6, 5, 5])
 
 
 def test_pipeline_overwrite_guard(tmp_path):
@@ -134,7 +181,13 @@ def test_ancestry_step_alias(tmp_path):
                "--fastq_2", f"{EX}/ERR013170_2.filt.fastq.gz.1000.fastq.gz",
                "--steps", "Align"])
     assert rc == 0
-    shutil.copy(str(src) + ".Pileup", str(out) + ".Pileup")
+    # the Ancestry step assumes align ran under the same prefix; the
+    # report stage is strict about its inputs, so carry them all over
+    import glob
+
+    for f in glob.glob(str(src) + ".*"):
+        if not f.endswith(".bam"):
+            shutil.copy(f, str(out) + f[len(str(src)):])
     rc = main(["all", "--steps", "Ancestry", "--output", str(out),
                "--index", str(tmp_path / "idx"),
                "--SVDPrefix", f"{RES}/hapmap_3.3.b37.dat",
