@@ -90,6 +90,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     iota_buck = jnp.arange(NBUCK)[None, :]
     iota_amax = jnp.arange(A_MAX)[None, :]
 
+    def oh_get(arr, col):
+        """Per-lane arr[b, col[b]] as a fused one-hot reduction (avoids
+        XLA point-gather, which serializes on TPU)."""
+        iota = jnp.arange(arr.shape[1])[None, :]
+        return jnp.where(iota == col[:, None], arr, 0).sum(axis=1)
+
     def oh_set(arr, col, val, mask):
         """arr (B, W[, E]) <- val (B[, E]) at per-lane column where mask."""
         iota = jnp.arange(arr.shape[1])[None, :]
@@ -144,6 +150,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         heads = heads.at[:, 0].set(jnp.where(dead, -1, 1))
         return dict(
             read_idx=jnp.where(valid, read_ids, -1),
+            seqs=seqs_all[r],  # (B, 2, L) lane-local copy
             lens=lens, md0=md, max_diff=md,
             use_seed=jnp.where(valid, use_seed_all[r], False),
             pool=pool, heads=heads,
@@ -155,15 +162,15 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             best_cnt=jnp.zeros_like(lens),
             n_aln=jnp.zeros_like(lens),
             alns=jnp.zeros((read_ids.shape[0], A_MAX, 7), jnp.int32),
-            w_w=w0_all[r, :, :, 0], w_bid=w0_all[r, :, :, 1],
+            wcb=w0_all[r],  # (B, 2, L+1, 2): [..., 0]=w, [..., 1]=bid
             ch_on=jnp.zeros_like(valid),
             ch=jnp.zeros((read_ids.shape[0], 8), jnp.int32),
             done=dead, overflow=jnp.zeros_like(valid),
             steps=jnp.zeros_like(lens))
 
-    LANE_KEYS = ("read_idx", "lens", "md0", "max_diff", "use_seed", "pool",
+    LANE_KEYS = ("read_idx", "seqs", "lens", "md0", "max_diff", "use_seed", "pool",
                  "heads", "freelist", "free_top", "n_entries", "best_score",
-                 "best_cnt", "n_aln", "alns", "w_w", "w_bid", "ch_on", "ch",
+                 "best_cnt", "n_aln", "alns", "wcb", "ch_on", "ch",
                  "done", "overflow", "steps")
 
     def inner_step(st, _):
@@ -174,7 +181,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         freelist, free_top = st["freelist"], st["free_top"]
         n_entries = st["n_entries"]
         ch_on, ch = st["ch_on"], st["ch"]
-        w_w, w_bid = st["w_w"], st["w_bid"]
+        wcb = st["wcb"]
         lens, md0, max_diff = st["lens"], st["md0"], st["max_diff"]
 
         avail = ~done
@@ -189,7 +196,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         # ---- pop: head of lowest nonempty bucket ----
         hvalid = heads >= 0  # (B, NBUCK)
         bucket = jnp.argmax(hvalid, axis=1).astype(jnp.int32)
-        slot = heads[binds, jnp.clip(bucket, 0, NBUCK - 1)]
+        slot = oh_get(heads, jnp.clip(bucket, 0, NBUCK - 1))
         slot_c = jnp.clip(slot, 0, NP - 1)
         if "nopop" in ablate:  # profiling only
             e = pool[:, 0] + slot_c[:, None]
@@ -215,9 +222,14 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         alive = can_pop & ~stop
         m = max_diff - (n_mm + n_gapo) - n_gape  # GAPE mode
         alive = alive & (m >= 0)
-        # width prune
-        wb_im1 = w_bid[binds, a, jnp.clip(i - 1, 0, L)]
-        alive = alive & ~((i > 0) & (m < wb_im1))
+        # width rows at i-1 and i-2 (two row gathers serve the pop prune
+        # AND the expansion gates: wb(i-1) is reused as wb_i2 below)
+        i2 = i - 1
+        wrow1 = wcb[binds, a, jnp.clip(i2, 0, L)]      # (B, 2) at i-1
+        wrow0 = wcb[binds, a, jnp.clip(i2 - 1, 0, L)]  # (B, 2) at i-2
+        ww_i2, wb_i2 = wrow1[:, 0], wrow1[:, 1]
+        ww_i2m1, wb_i2m1 = wrow0[:, 0], wrow0[:, 1]
+        alive = alive & ~((i > 0) & (m < wb_i2))
 
         hit_i0 = alive & (i == 0)
         start_chain = alive & (i > 0) & (m == 0)
@@ -240,11 +252,14 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         chainish = work_chain | start_chain
         ch_i = jnp.where(work_chain, ch[:, 2], i)
         ci = jnp.clip(ch_i - 1, 0, L - 1)
-        cc = seqs_all[rclip, cur_a, ci]
+        lseq_cur = jnp.where((cur_a == 0)[:, None], st["seqs"][:, 0],
+                             st["seqs"][:, 1])  # (B, L)
+        cc = oh_get(lseq_cur, ci)
         ccl = jnp.clip(cc, 0, 3)
-        L2c = L2[sel, ccl]
-        nk = L2c + jnp.take_along_axis(cnt_k, ccl[:, None], 1)[:, 0] + 1
-        nl = L2c + jnp.take_along_axis(cnt_l, ccl[:, None], 1)[:, 0]
+        sel_c = jnp.arange(4)[None, :] == ccl[:, None]  # (B, 4)
+        L2c = jnp.where(sel_c, L2[sel], 0).sum(axis=1)
+        nk = L2c + jnp.where(sel_c, cnt_k, 0).sum(axis=1) + 1
+        nl = L2c + jnp.where(sel_c, cnt_l, 0).sum(axis=1)
         ch_dead = chainish & ((cc > 3) | (nk > nl))
         ch_hit = chainish & ~ch_dead & (ch_i - 1 == 0)
         ch_cont = chainish & ~ch_dead & ~ch_hit
@@ -287,10 +302,10 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         else:
             do_add_sh = do_add
         pos = jnp.arange(L + 1)[None, :]
-        ww_a = jnp.take_along_axis(
-            w_w, jnp.clip(ha, 0, 1)[:, None, None], axis=1)[:, 0]  # (B, L+1)
-        wb_a = jnp.take_along_axis(
-            w_bid, jnp.clip(ha, 0, 1)[:, None, None], axis=1)[:, 0]
+        wcb_a = jnp.take_along_axis(
+            wcb, jnp.clip(ha, 0, 1)[:, None, None, None],
+            axis=1)[:, 0]  # (B, L+1, 2)
+        ww_a, wb_a = wcb_a[:, :, 0], wcb_a[:, :, 1]
         in_rng = (pos < hldp[:, None]) & do_add_sh[:, None]
         eqx = (ww_a == x[:, None]) & in_rng
         jcum = jnp.cumsum(eqx.astype(jnp.int32), axis=1)
@@ -299,8 +314,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         wb_new = jnp.where(eqx, 1, wb_a)
         sel_a = (jnp.arange(2)[None, :] == jnp.clip(ha, 0, 1)[:, None]
                  ) & do_add_sh[:, None]  # (B, 2)
-        w_w = jnp.where(sel_a[:, :, None], ww_new[:, None, :], w_w)
-        w_bid = jnp.where(sel_a[:, :, None], wb_new[:, None, :], w_bid)
+        wnew = jnp.stack([ww_new, wb_new], axis=-1)  # (B, L+1, 2)
+        wcb = jnp.where(sel_a[:, :, None, None], wnew[:, None], wcb)
         arow = jnp.stack([hmm, hgo, hge, ha, hk, hl, score], axis=1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
         overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))
@@ -310,18 +325,13 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             jnp.int32)
 
         # ---- expansion ----
-        i2 = i - 1
-        si = seqs_all[rclip, a, jnp.clip(i2, 0, L - 1)]
+        lseq_a = jnp.where((a == 0)[:, None], st["seqs"][:, 0],
+                           st["seqs"][:, 1])
+        si = oh_get(lseq_a, jnp.clip(i2, 0, L - 1))
         if "nowidthg" in ablate:  # profiling only
             zz = jnp.zeros(B, jnp.int32)
-        occ_w = l - k + 1
-        if "nowidthg" in ablate:
             wb_i2m1 = wb_i2 = ww_i2m1 = ww_i2 = zz
-        else:
-            wb_i2m1 = w_bid[binds, a, jnp.clip(i2 - 1, 0, L)]
-            wb_i2 = w_bid[binds, a, jnp.clip(i2, 0, L)]
-            ww_i2m1 = w_w[binds, a, jnp.clip(i2 - 1, 0, L)]
-            ww_i2 = w_w[binds, a, jnp.clip(i2, 0, L)]
+        occ_w = l - k + 1
         allow_diff = ~((i2 > 0) & (wb_i2m1 > m - 1))
         allow_m = ~((i2 > 0) & (wb_i2m1 == m - 1) & (wb_i2 == m - 1)
                     & (ww_i2m1 == ww_i2))
@@ -379,8 +389,10 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             else:
                 mask_j = allow_mm
                 is_mm_v = jnp.ones(B, bool)
-            kj = L2[sel, c] + jnp.take_along_axis(cnt_k, c[:, None], 1)[:, 0] + 1
-            lj = L2[sel, c] + jnp.take_along_axis(cnt_l, c[:, None], 1)[:, 0]
+            sel_j = jnp.arange(4)[None, :] == c[:, None]
+            L2j = jnp.where(sel_j, L2[sel], 0).sum(axis=1)
+            kj = L2j + jnp.where(sel_j, cnt_k, 0).sum(axis=1) + 1
+            lj = L2j + jnp.where(sel_j, cnt_l, 0).sum(axis=1)
             # no-diff pushes inherit the parent's ldp (slot persistence)
             child(mask_j & (kj <= lj), a, i2, kj, lj,
                   n_mm + (mask_j & is_mm_v).astype(jnp.int32), n_gapo,
@@ -403,15 +415,18 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         # allocate slots: rank among valid children (1-based)
         rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
         fidx = jnp.clip(free_top[:, None] - rank, 0, NP - 1)
-        slots = jnp.take_along_axis(freelist, fidx, axis=1)  # (B, NCH)
+        slots = jnp.stack(
+            [oh_get(freelist, fidx[:, ci_]) for ci_ in range(NCH)],
+            axis=1)  # (B, NCH)
         free_top = free_top - total
         n_entries = n_entries + total
 
         # next pointers: most recent earlier same-bucket child, else the
         # (post-pop) bucket head; heads then point at the last same-bucket
         # child (LIFO within bucket == C stack order)
-        heads_gather = jnp.take_along_axis(
-            heads, jnp.clip(scores, 0, NBUCK - 1), axis=1)  # (B, NCH)
+        heads_gather = jnp.stack(
+            [oh_get(heads, jnp.clip(scores[:, ci_], 0, NBUCK - 1))
+             for ci_ in range(NCH)], axis=1)  # (B, NCH)
         nexts = []
         for ci_ in range(NCH):
             nx = heads_gather[:, ci_]
@@ -434,6 +449,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             for ci_ in range(NCH):
                 pool = oh_set(pool, slots[:, ci_], rows[:, ci_],
                               valid[:, ci_])
+            for ci_ in range(NCH):
                 heads = oh_set(heads, jnp.clip(scores[:, ci_], 0, NBUCK - 1),
                                slots[:, ci_], is_last[:, ci_])
 
@@ -443,12 +459,13 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         overflow = overflow | capped
         done = done | capped
 
-        return dict(read_idx=read_idx, lens=lens, md0=md0, max_diff=max_diff,
+        return dict(read_idx=read_idx, seqs=st["seqs"], lens=lens,
+                    md0=md0, max_diff=max_diff,
                     use_seed=st["use_seed"], pool=pool, heads=heads,
                     freelist=freelist, free_top=free_top,
                     n_entries=n_entries, best_score=best_score,
                     best_cnt=best_cnt, n_aln=n_aln, alns=alns,
-                    w_w=w_w, w_bid=w_bid, ch_on=ch_on, ch=ch,
+                    wcb=wcb, ch_on=ch_on, ch=ch,
                     done=done, overflow=overflow, steps=steps), None
 
     def outer_cond(c):

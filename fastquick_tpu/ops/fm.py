@@ -39,7 +39,7 @@ _EVEN_BITS = np.uint32(0x55555555)
 class DeviceFM:
     """Stacked forward+reverse FM index arrays (device-resident)."""
 
-    words: jax.Array  # (2, n_words_padded) uint32
+    words: jax.Array  # (2, n_blocks+1, 8) uint32 (one Occ block per row)
     occ: jax.Array  # (2, n_blocks+1, 4) int32
     sa: jax.Array  # (2, n+1) int32
     L2: jax.Array  # (2, 4) int32  (BWA L2: #chars < c)
@@ -49,9 +49,15 @@ class DeviceFM:
     @classmethod
     def build(cls, fm_fwd: FMIndex, fm_rev: FMIndex) -> "DeviceFM":
         def prep_words(fm):
+            # reshape to one Occ block (8 words = 128 bases) per row so a
+            # rank query is ONE contiguous row gather; a flat layout with
+            # an explicit (B, 8) index array lowers to a slow 8-point
+            # XLA gather on TPU
             w = fm.bwt_words
-            pad = WORDS_PER_BLOCK  # guard for tail-block gathers
-            return np.concatenate([w, np.zeros(pad, dtype=np.uint32)])
+            nb = -(-len(w) // WORDS_PER_BLOCK) + 1  # +1 guard block
+            out = np.zeros(nb * WORDS_PER_BLOCK, dtype=np.uint32)
+            out[: len(w)] = w
+            return out.reshape(nb, WORDS_PER_BLOCK)
 
         words = np.stack([prep_words(fm_fwd), prep_words(fm_rev)])
         occ = np.stack([fm_fwd.occ, fm_rev.occ]).astype(np.int32)
@@ -97,11 +103,7 @@ def occ4(fm: DeviceFM, sel: jax.Array, k: jax.Array) -> jax.Array:
     block = kp // OCC_BLOCK
     rem = kp - block * OCC_BLOCK
     ck = fm.occ[sel, block]  # (B, 4)
-    word_base = block * WORDS_PER_BLOCK
-    wi = word_base[:, None] + jnp.arange(WORDS_PER_BLOCK)[None, :]
-    n_words = fm.words.shape[1]
-    wi = jnp.clip(wi, 0, n_words - 1)
-    words8 = fm.words[sel[:, None], wi]  # (B, 8)
+    words8 = fm.words[sel, jnp.clip(block, 0, fm.words.shape[1] - 1)]
     prefix = jnp.clip(rem[:, None] - jnp.arange(WORDS_PER_BLOCK)[None, :]
                       * BASES_PER_WORD, 0, BASES_PER_WORD)
     inblock = _word_prefix_counts(words8, prefix)  # (B, 4)
