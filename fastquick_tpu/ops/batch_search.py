@@ -44,7 +44,7 @@ from ..align.core import Aln
 from ..align.engine import HostEngine
 from ..align.opts import GapOpt, bwa_cal_maxdiff
 from ..index.builder import ReducedIndex
-from .fm import DeviceFM, cal_width, occ4
+from .fm import DeviceFM, cal_width, occ4, occ4_pair
 
 STATE_M, STATE_I, STATE_D = 0, 1, 2
 
@@ -245,8 +245,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             cnt_k = (ck_k[:, None] + jnp.arange(4)[None, :]) & 0xFF
             cnt_l = (ck_l[:, None] + jnp.arange(4)[None, :]) & 0xFF
         else:
-            cnt_k = occ4(fm, sel, ck_k - 1)  # (B, 4)
-            cnt_l = occ4(fm, sel, ck_l)
+            # one 2B-row gather pair instead of two B-row pairs: the
+            # gather op cost is latency-dominated on TPU (~12us fixed)
+            cnt_k, cnt_l = occ4_pair(fm, sel, ck_k - 1, ck_l)  # (B, 4) x2
+        # L2 is a (2, 4) scalar table: row by select, never by gather
+        L2row = jnp.where((sel == 0)[:, None], L2[0][None, :],
+                          L2[1][None, :])  # (B, 4)
 
         # ---- chain step (bwt_match_exact_alt, one base/iteration) ----
         chainish = work_chain | start_chain
@@ -257,7 +261,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         cc = oh_get(lseq_cur, ci)
         ccl = jnp.clip(cc, 0, 3)
         sel_c = jnp.arange(4)[None, :] == ccl[:, None]  # (B, 4)
-        L2c = jnp.where(sel_c, L2[sel], 0).sum(axis=1)
+        L2c = jnp.where(sel_c, L2row, 0).sum(axis=1)
         nk = L2c + jnp.where(sel_c, cnt_k, 0).sum(axis=1) + 1
         nl = L2c + jnp.where(sel_c, cnt_l, 0).sum(axis=1)
         ch_dead = chainish & ((cc > 3) | (nk > nl))
@@ -374,8 +378,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
               n_gape + ins_ext.astype(jnp.int32),
               jnp.full(B, STATE_I, jnp.int32), i2)
         for j in range(4):
-            kj = L2[sel, j] + cnt_k[:, j] + 1
-            lj = L2[sel, j] + cnt_l[:, j]
+            kj = L2row[:, j] + cnt_k[:, j] + 1
+            lj = L2row[:, j] + cnt_l[:, j]
             child((del_open | del_ext) & (kj <= lj), a, i2 + 1, kj, lj,
                   n_mm, n_gapo + del_open.astype(jnp.int32),
                   n_gape + del_ext.astype(jnp.int32),
@@ -390,7 +394,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
                 mask_j = allow_mm
                 is_mm_v = jnp.ones(B, bool)
             sel_j = jnp.arange(4)[None, :] == c[:, None]
-            L2j = jnp.where(sel_j, L2[sel], 0).sum(axis=1)
+            L2j = jnp.where(sel_j, L2row, 0).sum(axis=1)
             kj = L2j + jnp.where(sel_j, cnt_k, 0).sum(axis=1) + 1
             lj = L2j + jnp.where(sel_j, cnt_l, 0).sum(axis=1)
             # no-diff pushes inherit the parent's ldp (slot persistence)

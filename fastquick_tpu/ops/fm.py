@@ -97,7 +97,9 @@ def occ4(fm: DeviceFM, sel: jax.Array, k: jax.Array) -> jax.Array:
     sel, k: (B,) int32.  Returns (B, 4) int32.
     """
     kk = k + 1  # half-open bound over n+1 rows
-    primary = fm.primary[sel]
+    # primary is a (2,) scalar pair: a select, never a gather (an XLA
+    # point-gather costs ~12us fixed on TPU regardless of table size)
+    primary = jnp.where(sel == 0, fm.primary[0], fm.primary[1])
     kp = kk - (kk > primary).astype(jnp.int32)
     kp = jnp.clip(kp, 0, fm.n)
     block = kp // OCC_BLOCK
@@ -108,6 +110,17 @@ def occ4(fm: DeviceFM, sel: jax.Array, k: jax.Array) -> jax.Array:
                       * BASES_PER_WORD, 0, BASES_PER_WORD)
     inblock = _word_prefix_counts(words8, prefix)  # (B, 4)
     return ck + inblock
+
+
+def occ4_pair(fm: DeviceFM, sel: jax.Array, ka: jax.Array, kb: jax.Array
+              ) -> tuple[jax.Array, jax.Array]:
+    """Two occ4 queries per lane through ONE pair of table gathers (the
+    gather op cost is latency-dominated, so 2B rows in one gather is
+    ~half the cost of two B-row gathers)."""
+    B = sel.shape[0]
+    both = occ4(fm, jnp.concatenate([sel, sel]),
+                jnp.concatenate([ka, kb]))
+    return both[:B], both[B:]
 
 
 def occ1(fm: DeviceFM, sel: jax.Array, k: jax.Array, c: jax.Array) -> jax.Array:

@@ -1,0 +1,377 @@
+"""Device full QC step: inexact search + the complete StatCollector
+accumulator set, designed for data-parallel mesh execution.
+
+This is the SURVEY §5 TPU mapping of the reference's align+stats core
+(src/StatCollector.cpp AddSingleAlignment :424-621 and the accumulator
+fields of src/StatCollector.h:70-119) as ONE jitted device program:
+
+  k-mer filter -> batched inexact FM search (ops/batch_search kernel)
+  -> SE hit selection (bwa_aln2seq_core best-class widths, bwase.c:19-97)
+  -> approx mapQ (bwase.c:102-111) -> SA position resolution
+  -> per-base accumulation over the covered (B, L) grid.
+
+Accumulators produced (all integer tensors, so multi-chip merging is an
+exact psum -- see parallel/mesh.make_sharded_qc_full_step):
+
+  dense site space (S,):  depth, q20, q30      (StatCollector.h DepthVec..)
+  histograms:             emp_rep/mis_emp_rep (256), emp_cycle/
+                          mis_emp_cycle (256), qual_hist (256)
+  marker pileups (M,CAP): packed per-marker entries (base/qual/mapq/
+                          strand/cycle) in global read order, the device
+                          form of seqVec/qualVec/cycleVec/maqVec/strandVec
+  counters:               n_reads, n_filtered, n_mapped, n_eligible,
+                          n_base_mapped, n_gapped, n_fallback, n_xy,
+                          pileup_ovf
+
+Semantics notes (device-path contract, differentially tested against the
+host oracle where they overlap):
+  - hit selection is deterministic (first best hit, interval offset 0)
+    instead of the oracle's drand48 reservoir draw; c1/c2/mapQ match the
+    oracle exactly because they depend only on class widths.
+  - only ungapped primary hits feed the per-base accumulators (gapped
+    hits are counted in n_gapped; the production driver routes those
+    reads through the host refine path).
+  - reads the search kernel could not finish (pool/step caps) are counted
+    in n_fallback and excluded here; the driver realigns them exactly.
+  - depth_dist / gc_dist / pos_num / num_pos_cov* are SOLVE-time
+    reductions over the dense depth vector (collector.get_depth_dist),
+    not accumulation state, so they are not duplicated here.
+
+Per-read results are lane-local in the search kernel, so every tensor
+this module returns is bitwise identical under any data-parallel
+sharding of the read batch -- the property the multichip tests pin.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.opts import G_LOG_N
+from .batch_search import A_MAX, _search_kernel
+from .fm import DeviceFM
+from .kmer import filter_reads
+
+PILEUP_CAP = 64  # per-marker pileup slots (device tensor width)
+
+# packed pileup entry: present(1) | base(3) | qual(7) | mapq(7) |
+# strand(1) | cycle(10)  (cycle < 1024; device path caps read len well
+# below that)
+def _pack_entry(base, qual, mapq, strand, cycle):
+    return (1 | (base << 1) | (qual << 4) | (mapq << 11)
+            | (strand << 18) | (cycle << 19))
+
+
+def unpack_entry(v: np.ndarray):
+    """Host-side unpack -> (base, qual, mapq, strand, cycle)."""
+    v = np.asarray(v)
+    return ((v >> 1) & 7, (v >> 4) & 127, (v >> 11) & 127,
+            (v >> 18) & 1, (v >> 19) & 1023)
+
+
+@dataclass(frozen=True)
+class SiteTables:
+    """Pac-coordinate site tables (device arrays, replicated per chip).
+
+    Index n_text is the out-of-range guard row (site -1, marker -1)."""
+
+    site_idx: jax.Array   # (n+1,) int32: dense-site index or -1
+    marker_id: jax.Array  # (n+1,) int32: marker index or -1
+    text: jax.Array       # (n+1,) int32 codes (guard row 4)
+    dbsnp: jax.Array      # (S,) bool over the dense site space
+    is_xy: jax.Array      # (n+1,) bool: position on an X/Y contig
+    n_sites: int
+    n_markers: int
+
+
+def build_site_tables(idx, sc, opt) -> SiteTables:
+    """Build pac-space tables from a ReducedIndex + a StatCollector that
+    has run restore_vcf_sites (mirrors the coordinate math of
+    add_single_alignment: real = contig.pos - flank + (pac - offset))."""
+    n = idx.l_pac
+    site_idx = np.full(n + 1, -1, np.int32)
+    marker_id = np.full(n + 1, -1, np.int32)
+    is_xy = np.zeros(n + 1, bool)
+    sites = sc.sites
+    for ci, contig in enumerate(idx.contigs):
+        flank = opt.flank_long_len if contig.is_long else opt.flank_len
+        start_real = contig.pos - flank  # 1-based real coord of pac offset
+        chrom = contig.chrom[3:] if contig.chrom.startswith("chr") \
+            else contig.chrom
+        pos1, didx = sites.index_range(
+            chrom, start_real, start_real + contig.length)
+        pac = contig.offset + (pos1 - start_real)
+        ok = (pac >= 0) & (pac < n)
+        site_idx[pac[ok]] = didx[ok]
+        # marker position -> pac coordinate
+        mpac = contig.offset + (contig.pos - start_real)
+        if 0 <= mpac < n:
+            tbl = sc.vcf_table.get(chrom)
+            if tbl is not None and contig.pos in tbl:
+                marker_id[mpac] = tbl[contig.pos]
+        if chrom in ("X", "Y"):
+            is_xy[contig.offset:contig.offset + contig.length] = True
+    return SiteTables(
+        site_idx=jnp.asarray(site_idx),
+        marker_id=jnp.asarray(marker_id),
+        text=jnp.asarray(np.concatenate(
+            [idx.text.astype(np.int32), [4]])),
+        dbsnp=jnp.asarray(sites.dbsnp),
+        is_xy=jnp.asarray(is_xy),
+        n_sites=int(sites.total),
+        n_markers=len(sc.vcf_rec_vec))
+
+
+def synthetic_site_tables(text: np.ndarray, n_markers: int = 8,
+                          flank: int = 250, seed: int = 0) -> SiteTables:
+    """Standalone tables over a synthetic text (tests / dryrun): markers
+    evenly spaced, each with a +/-flank in-region window, every position
+    of which is a dense site; every 3rd site dbsnp."""
+    n = len(text)
+    rng = np.random.default_rng(seed)
+    mpos = np.linspace(flank, n - flank - 1, n_markers).astype(np.int64)
+    site_idx = np.full(n + 1, -1, np.int32)
+    marker_id = np.full(n + 1, -1, np.int32)
+    nxt = 0
+    for mi, mp in enumerate(mpos):
+        lo, hi = mp - flank, mp + flank + 1
+        span = np.arange(lo, hi)
+        fresh = site_idx[span] < 0
+        site_idx[span[fresh]] = nxt + np.arange(int(fresh.sum()))
+        nxt += int(fresh.sum())
+        marker_id[mp] = mi
+    S = nxt
+    dbsnp = (np.arange(S) % 3) == 0
+    is_xy = np.zeros(n + 1, bool)
+    is_xy[: n // 8] = True
+    del rng
+    return SiteTables(
+        site_idx=jnp.asarray(site_idx),
+        marker_id=jnp.asarray(marker_id),
+        text=jnp.asarray(np.concatenate([text.astype(np.int32), [4]])),
+        dbsnp=jnp.asarray(dbsnp),
+        is_xy=jnp.asarray(is_xy),
+        n_sites=S, n_markers=n_markers)
+
+
+_G_LOG_N = jnp.asarray(np.array(G_LOG_N, np.int32))
+
+
+def _approx_mapq(c1, c2, mm_eq_max):
+    """bwa_approx_mapQ (bwase.c:102-111), vectorized."""
+    g = _G_LOG_N[jnp.clip(c2, 0, 255)]
+    q = jnp.where(c2 == 0, 37, jnp.where(23 < g, 0, 23 - g))
+    q = jnp.where(mm_eq_max, 25, q)
+    q = jnp.where(c1 > 1, 0, q)
+    q = jnp.where(c1 == 0, 23, q)
+    return q
+
+
+def ragged_unreverse(arr: jax.Array, lens: jax.Array,
+                     fill: int = 4) -> jax.Array:
+    """Row-wise arr[b, lens[b]-1-j] (undo bwa's stored reversal with
+    per-row lengths; fixes the fixed-width jnp.flip bug for short rows)."""
+    B, L = arr.shape
+    idx = lens[:, None] - 1 - jnp.arange(L)[None, :]
+    out = jnp.take_along_axis(arr, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(idx >= 0, out, fill)
+
+
+def se_select(n_aln, alns):
+    """Deterministic SE selection from the kernel's ordered hit list:
+    best class widths -> (mapped, strand, row, c1, c2, n_mm, n_gapo,
+    n_gape).  c1/c2 match bwa_aln2seq_core; the within-class pick is the
+    first best hit at interval offset 0 (the oracle draws by drand48)."""
+    B = n_aln.shape[0]
+    used = jnp.arange(A_MAX)[None, :] < n_aln[:, None]  # (B, A_MAX)
+    score = alns[:, :, 6]
+    width = jnp.where(used, alns[:, :, 5] - alns[:, :, 4] + 1, 0)
+    best = jnp.where(n_aln > 0, score[:, 0], -1)
+    in_best = used & (score == best[:, None])
+    c1 = jnp.where(in_best, width, 0).sum(axis=1)
+    c2 = jnp.where(used & ~in_best, width, 0).sum(axis=1)
+    mapped = n_aln > 0
+    first = alns[:, 0]  # hits are recorded best-score-first
+    return (mapped, first[:, 3], first[:, 4], c1, c2,
+            first[:, 0], first[:, 1], first[:, 2])
+
+
+def _pileup_ranks(mk_flat: jax.Array, valid: jax.Array):
+    """Arrival rank of each candidate within its marker, in flattened
+    (read-major) order == global read order within the shard."""
+    K = mk_flat.shape[0]
+    keys = jnp.where(valid, mk_flat, jnp.int32(0x3FFFFFFF))
+    order = jnp.argsort(keys, stable=True)
+    sk = keys[order]
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, jnp.arange(K), 0))
+    rank_sorted = jnp.arange(K) - start_pos
+    ranks = jnp.zeros(K, jnp.int32).at[order].set(
+        rank_sorted.astype(jnp.int32))
+    return ranks
+
+
+def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
+                 seqs, rseqs, quals, lens,
+                 bitmaps=None, thresh: int = 3,
+                 pileup_cap: int = PILEUP_CAP,
+                 marker_base: jax.Array | None = None,
+                 md_table: jax.Array | None = None) -> dict:
+    """One shard's full QC step (traceable; runs inside shard_map).
+
+    seqs: (B, L) reversed codes; rseqs: (B, L) revcomp codes (both as
+    stored by bwa's seq_reverse); quals: (B, L) phred in read
+    orientation; lens: (B,).  marker_base: (M,) per-marker slot offset
+    for this shard's pileup entries (0 on a single device; the mesh
+    wrapper passes the all-gathered prefix counts so psum == global
+    concat in read order)."""
+    B, L = seqs.shape
+    S, M = tables.n_sites, tables.n_markers
+    n_text = int(opt_args["n_text"])
+
+    fwd = ragged_unreverse(seqs, lens)  # forward codes, ragged-correct
+    if bitmaps is not None:
+        kept = filter_reads(bitmaps, fwd, lens, thresh)
+    else:
+        kept = jnp.ones(B, bool)
+
+    seqs2 = jnp.stack([seqs, rseqs], axis=1).astype(jnp.int32)
+    if md_table is not None:  # per-read maxdiff (bwa_cal_maxdiff by len)
+        md_of_len = md_table[jnp.clip(lens, 0, md_table.shape[0] - 1)]
+    else:
+        md_of_len = jnp.full(B, jnp.int32(opt_args["max_diff"]))
+    md = jnp.where(kept, md_of_len, -1)
+    use_seed = (lens > int(opt_args.get("seed_len", 32))) \
+        if opt_args.get("use_seed", True) else jnp.zeros(B, bool)
+    n_aln, alns, fallback, _rounds = _search_kernel(
+        fm_arrays["words"], fm_arrays["occ"], fm_arrays["sa"],
+        fm_arrays["L2"], fm_arrays["primary"],
+        seqs2, lens, md, use_seed,
+        B=B, NP=int(opt_args.get("pool", 256)),
+        K_INNER=int(opt_args.get("inner", 16)),
+        step_cap=int(opt_args.get("step_cap", 64 * L)),
+        s_mm=3, s_gapo=11, s_gape=4,
+        max_gapo=int(opt_args.get("max_gapo", 1)),
+        max_gape=int(opt_args.get("max_gape", 6)),
+        indel_end_skip=5, max_del_occ=10, max_entries=2000000,
+        max_top2=int(opt_args.get("max_top2", 30)),
+        seed_len=int(opt_args.get("seed_len", 32)),
+        max_seed_diff=int(opt_args.get("max_seed_diff", 2)),
+        n_text=n_text)
+
+    mapped, strand, row, c1, c2, n_mm, n_gapo, n_gape = se_select(
+        n_aln, alns)
+    mapped = mapped & kept & ~fallback
+    mapq = _approx_mapq(c1, c2, n_mm == md_of_len)
+    # SA row -> pac pos (bwa_cal_pac_pos / pe.sa_pos): strand 1 reads the
+    # forward SA; strand 0 converts through the reverse index
+    row_c = jnp.clip(row, 0, n_text)
+    sa_f = fm_arrays["sa"][0, row_c]
+    sa_r = fm_arrays["sa"][1, row_c]
+    pos = jnp.where(strand == 1, sa_f, n_text - (sa_r + lens))
+    gapped = mapped & ((n_gapo > 0) | (n_gape > 0))
+    eligible = mapped & (mapq >= 20) & ~gapped
+
+    # ---- per-base accumulation over the covered grid ----
+    offs = jnp.arange(L)[None, :]
+    cover = eligible[:, None] & (offs < lens[:, None])
+    pacp = jnp.where(cover, pos[:, None] + offs, n_text)
+    pacp = jnp.clip(pacp, 0, n_text)
+    # read bases / quals / cycles in reference orientation
+    rq = ragged_unreverse(quals, lens, fill=0)
+    ref_read = jnp.where((strand == 0)[:, None], fwd,
+                         ragged_unreverse(rseqs, lens))
+    ref_qual = jnp.where((strand == 0)[:, None], rq, quals)
+    cycle = jnp.where((strand == 0)[:, None], offs,
+                      jnp.clip(lens[:, None] - 1 - offs, 0, L))
+    site = tables.site_idx[pacp]          # (B, L)
+    mk = tables.marker_id[pacp]
+    fb_base = tables.text[pacp]
+    in_reg = cover & (site >= 0)
+    site_c = jnp.where(in_reg, site, S)
+    bq = jnp.clip(ref_qual, 0, 93)
+    mism = in_reg & (ref_read < 4) & (fb_base < 4) & (ref_read != fb_base)
+    mism = mism & ~jnp.concatenate(
+        [tables.dbsnp, jnp.zeros(1, bool)])[jnp.clip(site_c, 0, S)]
+
+    ones = in_reg.astype(jnp.int32).reshape(-1)
+    flat_site = site_c.reshape(-1)
+    tier = ((bq >= 20).astype(jnp.int32) + (bq >= 30)).reshape(-1)
+    dense3 = jnp.zeros(3 * (S + 1), jnp.int32).at[
+        flat_site + tier * (S + 1)].add(ones)
+    d0 = dense3[: S] + dense3[S + 1: 2 * S + 1] + dense3[2 * S + 2:][: S]
+    q20 = dense3[S + 1: 2 * S + 1][: S] + dense3[2 * S + 2:][: S]
+    q30 = dense3[2 * S + 2:][: S]
+
+    bq_flat = jnp.where(in_reg, bq, 255).reshape(-1)
+    emp_rep = jnp.zeros(256, jnp.int32).at[
+        jnp.clip(bq_flat, 0, 255)].add(ones)
+    cyc_flat = jnp.where(in_reg, cycle, 255).reshape(-1)
+    emp_cycle = jnp.zeros(256, jnp.int32).at[
+        jnp.clip(cyc_flat, 0, 255)].add(ones)
+    mism_ones = mism.astype(jnp.int32).reshape(-1)
+    mis_emp_rep = jnp.zeros(256, jnp.int32).at[
+        jnp.clip(bq_flat, 0, 255)].add(mism_ones)
+    mis_emp_cycle = jnp.zeros(256, jnp.int32).at[
+        jnp.clip(cyc_flat, 0, 255)].add(mism_ones)
+
+    # ---- marker pileups in read order ----
+    on_mk = in_reg & (mk >= 0)
+    mk_flat = jnp.where(on_mk, mk, -1).reshape(-1)
+    ranks = _pileup_ranks(mk_flat, mk_flat >= 0)
+    packed = _pack_entry(
+        jnp.clip(ref_read, 0, 4), bq, jnp.clip(mapq[:, None] + 0 * offs,
+                                               0, 127),
+        jnp.broadcast_to((strand == 1)[:, None].astype(jnp.int32), (B, L)),
+        jnp.clip(cycle, 0, 1023)).reshape(-1)
+    base_off = (jnp.zeros(M + 1, jnp.int32) if marker_base is None
+                else jnp.concatenate(
+                    [marker_base.astype(jnp.int32),
+                     jnp.zeros(1, jnp.int32)]))
+    mk_c = jnp.clip(mk_flat, 0, M)
+    slot = ranks + base_off[mk_c]
+    ok = (mk_flat >= 0) & (slot < pileup_cap)
+    pileup = jnp.zeros((M, pileup_cap), jnp.int32).at[
+        jnp.where(ok, mk_c, M), jnp.clip(slot, 0, pileup_cap - 1)
+    ].add(jnp.where(ok, packed, 0), mode="drop")
+    pileup_cnt = jnp.zeros(M + 1, jnp.int32).at[mk_c].add(
+        (mk_flat >= 0).astype(jnp.int32))[:M]
+    pileup_ovf = ((mk_flat >= 0) & ~ok).astype(jnp.int32).sum()
+
+    n_xy = (eligible & jnp.concatenate(
+        [tables.is_xy[jnp.clip(pos, 0, n_text)][:, None]], axis=1)[:, 0]
+    ).astype(jnp.int32).sum()
+
+    return {
+        "depth": d0, "q20": q20, "q30": q30,
+        "emp_rep": emp_rep, "mis_emp_rep": mis_emp_rep,
+        "emp_cycle": emp_cycle, "mis_emp_cycle": mis_emp_cycle,
+        "pileup": pileup, "pileup_cnt": pileup_cnt,
+        "pileup_ovf": pileup_ovf,
+        "n_reads": jnp.int32(B),
+        "n_filtered": (~kept).astype(jnp.int32).sum(),
+        "n_mapped": mapped.astype(jnp.int32).sum(),
+        "n_eligible": eligible.astype(jnp.int32).sum(),
+        "n_gapped": gapped.astype(jnp.int32).sum(),
+        "n_fallback": fallback.astype(jnp.int32).sum(),
+        "n_base_mapped": in_reg.astype(jnp.int32).sum(),
+        "n_xy": n_xy,
+    }
+
+
+def local_pileup_counts(tables: SiteTables, opt_args, fm_arrays,
+                        seqs, rseqs, quals, lens, bitmaps=None,
+                        thresh: int = 3):
+    """Phase-A helper for the mesh wrapper: this shard's per-marker entry
+    counts (so cross-shard slot offsets can be exchanged before the
+    accumulation pass).  Cheap relative to re-running search twice only
+    on small mesh steps; the production driver caches the search."""
+    out = qc_step_full(fm_arrays, tables, opt_args, seqs, rseqs, quals,
+                       lens, bitmaps=bitmaps, thresh=thresh)
+    return out["pileup_cnt"]

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.fm import DeviceFM, match_exact, sa_lookup
 from ..ops.kmer import filter_reads
 from ..ops.pileup import depth_pileup
+from ..ops.qc_full import SiteTables, qc_step_full, ragged_unreverse
 
 
 def shard_map_compat(f, mesh, in_specs, out_specs):
@@ -68,8 +69,9 @@ def qc_step_local(words, occ, sa, L2, primary, n_text: int,
     fm = DeviceFM(words=words, occ=occ, sa=sa, L2=L2, primary=primary,
                   n=n_text)
     B, L = seqs.shape
-    # K1: k-mer filter on the forward read (reverse of seqs)
-    fwd = jnp.flip(seqs, axis=1)  # forward codes (approx: full-length pad)
+    # K1: k-mer filter on the forward read (per-row unreversal -- a plain
+    # jnp.flip misaligns reads shorter than the pad width)
+    fwd = ragged_unreverse(seqs, lens)
     kept = filter_reads(bitmaps, fwd, lens, thresh) if bitmaps is not None \
         else jnp.ones(B, bool)
     # K2: exact-match backward search, both strands; strand a searches
@@ -121,5 +123,73 @@ def make_sharded_qc_step(mesh: Mesh, fm_arrays: dict, n_text: int,
         return sharded(fm_arrays["words"], fm_arrays["occ"], fm_arrays["sa"],
                        fm_arrays["L2"], fm_arrays["primary"],
                        seqs, rseqs, lens, quals)
+
+    return run
+
+
+def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
+                              tables: SiteTables, opt_args: dict,
+                              bitmaps=None, thresh: int = 3,
+                              pileup_cap: int = 64,
+                              axis: str | tuple[str, ...] = "dp",
+                              md_table=None):
+    """The PRODUCT multi-chip step: reads data-parallel over `axis`,
+    index + site tables replicated, the full inexact engine + the
+    complete StatCollector accumulator set per shard, every tensor
+    psum-merged (ops/qc_full.qc_step_full).
+
+    Marker pileups must keep GLOBAL read order (the .Pileup strings are
+    order-sensitive): each shard all-gathers the per-marker entry counts
+    (one small (M,)-int collective riding ICI first, DCN last), shifts
+    its local entries to the global slot offsets, and then the psum of
+    the disjoint-slot tensors IS ordered concatenation.  All
+    accumulators are integer, so mesh output == single-device output
+    bitwise (pinned by tests/test_multichip.py)."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
+    def step(words, occ, sa, L2, primary, seqs, rseqs, quals, lens):
+        fmd = {"words": words, "occ": occ, "sa": sa, "L2": L2,
+               "primary": primary}
+        out = qc_step_full(fmd, tables, opt_args, seqs, rseqs, quals,
+                           lens, bitmaps=bitmaps, thresh=thresh,
+                           pileup_cap=pileup_cap, md_table=md_table)
+        M = tables.n_markers
+        cnt = out["pileup_cnt"]  # (M,) this shard's entries per marker
+        g = cnt
+        for ax in reversed(axes):  # gather innermost (ICI) first
+            g = jax.lax.all_gather(g, ax)
+        g = g.reshape(-1, M)  # (n_shards, M) in global shard order
+        rank = jnp.int32(0)
+        for ax in axes:
+            rank = rank * mesh.shape[ax] + jax.lax.axis_index(ax)
+        off = jnp.where(jnp.arange(g.shape[0])[:, None] < rank, g, 0
+                        ).sum(axis=0)  # (M,) my global slot base
+        rows = jnp.broadcast_to(jnp.arange(M)[:, None], (M, pileup_cap))
+        cold = jnp.arange(pileup_cap)[None, :]
+        tgt = cold + off[:, None]
+        valid = cold < cnt[:, None]
+        shifted = jnp.zeros((M, pileup_cap), jnp.int32).at[
+            rows, tgt].add(jnp.where(valid, out["pileup"], 0),
+                           mode="drop")
+        out["pileup"] = shifted
+        out["pileup_ovf"] = out["pileup_ovf"] + (
+            valid & (tgt >= pileup_cap)).astype(jnp.int32).sum()
+        for ax in reversed(axes):  # psum ICI first, DCN last
+            out = jax.tree.map(lambda x, _ax=ax: jax.lax.psum(x, _ax), out)
+        return out
+
+    shard_axes = axes if len(axes) > 1 else axes[0]
+    sharded = shard_map_compat(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P(shard_axes, None), P(shard_axes, None),
+                  P(shard_axes, None), P(shard_axes)),
+        out_specs=P())
+
+    @jax.jit
+    def run(seqs, rseqs, quals, lens):
+        return sharded(fm_arrays["words"], fm_arrays["occ"],
+                       fm_arrays["sa"], fm_arrays["L2"],
+                       fm_arrays["primary"], seqs, rseqs, quals, lens)
 
     return run
