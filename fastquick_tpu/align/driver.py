@@ -525,6 +525,11 @@ def run_align(argv: list[str]) -> int:
     pl.add("sam_out", False, "Output SAM instead of BAM")
     pl.add("device_filter", False, "run the k-mer read filter on the "
            "accelerator (HBM-resident bitmaps) instead of the CPU")
+    pl.add("device_qc", False, "resident-on-chip QC mode: k-mer filter + "
+           "inexact search + the complete stat accumulators as ONE device "
+           "program per batch (index/bitmaps/site tables uploaded once); "
+           "QC-only -- no BAM/pairing; overflow+gapped reads realigned "
+           "on the host")
     pl.add("out_prefix", "Empty", "Prefix of all the output files")
     pl.add("index_prefix", "Empty", "Input prefix of the index files")
     pl.group("Parameters for Alignment")
@@ -630,6 +635,36 @@ def run_align(argv: list[str]) -> int:
     if target_region != "Empty":
         collector.set_target_region(target_region)
 
+    fq_pairs_early: list[tuple[str, str]] = []
+    if pl["fq_list"] != "Empty":
+        with open(pl["fq_list"]) as fh:
+            for line in fh:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.split()
+                fq_pairs_early.append(
+                    (parts[0], parts[1] if len(parts) > 1 else ""))
+    elif pl["fastq_1"] != "Empty":
+        fq_pairs_early.append((pl["fastq_1"], pl["fastq_2"]
+                               if pl["fastq_2"] != "Empty" else ""))
+    else:
+        error("One of --fq_list / --fastq_1 is required")
+
+    if pl["device_qc"]:
+        from .device_qc import run_device_qc
+
+        notice("Resident-on-chip QC mode (device filter+search+stats)")
+        run_device_qc(idx, opt, collector, fq_pairs_early,
+                      lambda f1, f2: FileStat(file_name1=f1, file_name2=f2),
+                      collector.add_fsc)
+        # QC-only mode has no pairing: the isize solve reads an empty table
+        open(prefix + ".InsertSizeTable", "w").close()
+        t_tmp = realtime()
+        collector.process_core(prefix, opt)
+        notice("Calculate distributions... %f sec", realtime() - t_tmp)
+        notice("Real time: %.3f sec", realtime() - t_real)
+        return 0
+
     engine_kind = pl["engine"]
     if engine_kind == "auto":
         from ..native import get_aligner_lib
@@ -651,19 +686,7 @@ def run_align(argv: list[str]) -> int:
                     bam=not pl["sam_out"])
     isize_out = open(prefix + ".InsertSizeTable", "w")
 
-    fq_pairs: list[tuple[str, str]] = []
-    if pl["fq_list"] != "Empty":
-        with open(pl["fq_list"]) as fh:
-            for line in fh:
-                if line.startswith("#") or not line.strip():
-                    continue
-                parts = line.split()
-                fq_pairs.append((parts[0], parts[1] if len(parts) > 1 else ""))
-    elif pl["fastq_1"] != "Empty":
-        fq_pairs.append((pl["fastq_1"], pl["fastq_2"]
-                         if pl["fastq_2"] != "Empty" else ""))
-    else:
-        error("One of --fq_list / --fastq_1 is required")
+    fq_pairs = fq_pairs_early
 
     for fq1, fq2 in fq_pairs:
         if fq2:

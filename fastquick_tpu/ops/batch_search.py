@@ -56,6 +56,12 @@ F_K, F_L, F_AI, F_MM, F_GO, F_GE, F_LDP, F_NEXT = range(8)
 DEF_LANES = int(os.environ.get("FQ_BS_LANES", 1024))
 DEF_POOL = int(os.environ.get("FQ_BS_POOL", 1024))
 DEF_INNER = int(os.environ.get("FQ_BS_INNER", 32))
+# per-lane step cap: tail reads grind lanes alone (31% lane utilization
+# measured at a 64*L cap vs 69% at 768); capped reads fall back to the
+# exact native/host engine, so a tighter cap trades a little host work
+# (3.6% of the bench world) for a lot of chip time (2474 -> 4008
+# reads/s measured).  0 = auto (max(768, 3 * padded read len)).
+DEF_STEPCAP = int(os.environ.get("FQ_BS_STEPCAP", 0))
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -483,6 +489,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         out_n = c["out_n"].at[tgt].set(lane["n_aln"], mode="drop")
         out_alns = c["out_alns"].at[tgt].set(lane["alns"], mode="drop")
         out_fb = c["out_fb"].at[tgt].set(lane["overflow"], mode="drop")
+        busy = c["busy"] + jnp.where(flush, lane["steps"], 0).sum()
         # refill with the next unstarted reads
         rank = jnp.cumsum(flush.astype(jnp.int32))
         new_ids = jnp.where(flush, c["next_read"] + rank - 1, N)
@@ -495,16 +502,16 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             merged[key] = jnp.where(mask.reshape(mshape), fv, lv)
         return dict(lane=merged, next_read=c["next_read"] + rank[-1],
                     out_n=out_n, out_alns=out_alns, out_fb=out_fb,
-                    rounds=c["rounds"] + 1)
+                    rounds=c["rounds"] + 1, busy=busy)
 
     lane0 = fresh_lane_state(jnp.arange(B, dtype=jnp.int32))
     carry0 = dict(lane=lane0, next_read=jnp.int32(min(B, N)),
                   out_n=out_n, out_alns=out_alns, out_fb=out_fb,
-                  rounds=jnp.int32(0))
+                  rounds=jnp.int32(0), busy=jnp.int32(0))
     # lanes beyond N started idle; account them as consumed
     out = jax.lax.while_loop(outer_cond, outer_body, carry0)
     return (out["out_n"][:N], out["out_alns"][:N], out["out_fb"][:N],
-            out["rounds"])
+            out["rounds"], out["busy"])
 
 
 class BatchEngine:
@@ -512,7 +519,7 @@ class BatchEngine:
 
     def __init__(self, idx: ReducedIndex, max_batch: int = 32768,
                  lanes: int | None = None, pool: int | None = None,
-                 inner: int | None = None):
+                 inner: int | None = None, step_cap: int | None = None):
         self.idx = idx
         self.dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
         try:
@@ -525,8 +532,10 @@ class BatchEngine:
         self.lanes = lanes or DEF_LANES
         self.pool = pool or DEF_POOL
         self.inner = inner or DEF_INNER
+        self.step_cap = step_cap if step_cap is not None else DEF_STEPCAP
         self.last_iters = 0
         self.last_fallback = 0
+        self.last_busy = 0
 
     def align_batch(self, reads, opt: GapOpt) -> None:
         todo = [p for p in reads if not p.filtered]
@@ -538,6 +547,7 @@ class BatchEngine:
             p.aln = []
         self.last_fallback = 0
         self.last_iters = 0
+        self.last_busy = 0
         for s in range(0, len(todo), self.max_batch):
             self._run_chunk(todo[s:s + self.max_batch], opt)
 
@@ -568,12 +578,12 @@ class BatchEngine:
         max_gapo = min(opt.max_gapo, batch_md)
 
         lanes = min(self.lanes, Npad)
-        n_aln, alns, fallback, rounds = _search_kernel(
+        n_aln, alns, fallback, rounds, busy = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
             self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
             jnp.asarray(md), jnp.asarray(use_seed),
             B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
-            step_cap=int(64 * Lpad), s_mm=opt.s_mm,
+            step_cap=int(self.step_cap or max(768, 3 * Lpad)), s_mm=opt.s_mm,
             s_gapo=opt.s_gapo, s_gape=opt.s_gape, max_gapo=int(max_gapo),
             max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,
             max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
@@ -587,6 +597,7 @@ class BatchEngine:
         fallback = np.asarray(fallback)
         self.last_iters += int(rounds) * int(self.inner)
         self.last_fallback += int(fallback[:B].sum())
+        self.last_busy += int(busy)
 
         fb_reads = []
         for b, p in enumerate(todo):

@@ -44,7 +44,7 @@ sharding of the read batch -- the property the multichip tests pin.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -73,6 +73,7 @@ def unpack_entry(v: np.ndarray):
             (v >> 18) & 1, (v >> 19) & 1023)
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SiteTables:
     """Pac-coordinate site tables (device arrays, replicated per chip).
@@ -84,8 +85,8 @@ class SiteTables:
     text: jax.Array       # (n+1,) int32 codes (guard row 4)
     dbsnp: jax.Array      # (S,) bool over the dense site space
     is_xy: jax.Array      # (n+1,) bool: position on an X/Y contig
-    n_sites: int
-    n_markers: int
+    n_sites: int = field(metadata=dict(static=True))
+    n_markers: int = field(metadata=dict(static=True))
 
 
 def build_site_tables(idx, sc, opt) -> SiteTables:
@@ -222,7 +223,8 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  bitmaps=None, thresh: int = 3,
                  pileup_cap: int = PILEUP_CAP,
                  marker_base: jax.Array | None = None,
-                 md_table: jax.Array | None = None) -> dict:
+                 md_table: jax.Array | None = None,
+                 return_per_read: bool = False):
     """One shard's full QC step (traceable; runs inside shard_map).
 
     seqs: (B, L) reversed codes; rseqs: (B, L) revcomp codes (both as
@@ -249,7 +251,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
     md = jnp.where(kept, md_of_len, -1)
     use_seed = (lens > int(opt_args.get("seed_len", 32))) \
         if opt_args.get("use_seed", True) else jnp.zeros(B, bool)
-    n_aln, alns, fallback, _rounds = _search_kernel(
+    n_aln, alns, fallback, _rounds, _busy = _search_kernel(
         fm_arrays["words"], fm_arrays["occ"], fm_arrays["sa"],
         fm_arrays["L2"], fm_arrays["primary"],
         seqs2, lens, md, use_seed,
@@ -348,7 +350,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         [tables.is_xy[jnp.clip(pos, 0, n_text)][:, None]], axis=1)[:, 0]
     ).astype(jnp.int32).sum()
 
-    return {
+    acc = {
         "depth": d0, "q20": q20, "q30": q30,
         "emp_rep": emp_rep, "mis_emp_rep": mis_emp_rep,
         "emp_cycle": emp_cycle, "mis_emp_cycle": mis_emp_cycle,
@@ -363,6 +365,19 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "n_base_mapped": in_reg.astype(jnp.int32).sum(),
         "n_xy": n_xy,
     }
+    if not return_per_read:
+        return acc
+    # per-read flags for the driver (NOT psum-able; the mesh wrapper
+    # never requests them): which reads the host must redo exactly --
+    # kernel overflows, plus gapped primaries (host refine path)
+    per_read = {
+        "kept": kept,
+        "mapped": mapped,
+        "eligible": eligible,
+        "host_redo": kept & (fallback
+                             | (mapped & gapped & (mapq >= 20))),
+    }
+    return acc, per_read
 
 
 def local_pileup_counts(tables: SiteTables, opt_args, fm_arrays,

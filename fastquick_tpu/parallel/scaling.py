@@ -1,11 +1,24 @@
-"""Scaling-efficiency harness: data-parallel QC step at 1..N devices.
+"""Scaling-efficiency harness: data-parallel QC at 1..N devices.
 
-Measures the sharded QC step (parallel/mesh.py) throughput as the mesh
-grows, reporting efficiency vs linear scaling -- the BASELINE.md target is
->= 80% from 1 chip to N.  On this single-chip session the harness runs
-functionally on the virtual CPU mesh (tests/test_multichip.py asserts
-result equality); on a real pod slice the same entry point produces the
-honest numbers.
+Two outputs per mesh shape:
+  - MEASURED reads/s + efficiency vs linear scaling (on this session's
+    virtual CPU mesh the numbers are host-bound and meaningless beyond
+    equality checks; on a real pod slice the same entry point is the
+    honest measurement).
+  - MODELED communication cost: the exact psum/all-gather payload bytes
+    the step ships per device, an analytic ICI/DCN time model, and the
+    modeled efficiency at a given per-shard compute time.  This makes
+    the BASELINE.json >=80%-efficiency target auditable without pod
+    hardware: the payload is static (accumulator tensor sizes), the
+    link speeds are public TPU v5e figures, and the compute time is the
+    measured single-chip step time.
+
+Model: a psum of P bytes costs ~2*(n-1)/n * P on the wire per device
+(reduce-scatter + all-gather decomposition); the pileup-count
+all-gather ships (n-1)/n * M*4 more.  ICI per-device bandwidth ~9e10
+B/s (v5e 2D torus, per-direction), DCN ~6.25e9 B/s per host (50 Gbps),
+~1us per hop latency.  Collectives ride ICI within a host row and DCN
+across hosts (mesh axes ('host','chip') reduce chip-axis first).
 """
 
 from __future__ import annotations
@@ -14,17 +27,94 @@ import time
 
 import numpy as np
 
+ICI_BW = 9.0e10     # bytes/s per device, v5e torus (public figure)
+DCN_BW = 6.25e9     # bytes/s per host (50 Gbps NIC)
+HOP_LAT = 1e-6      # seconds per collective hop
+
+
+def accumulator_bytes(n_sites: int, n_markers: int,
+                      pileup_cap: int = 64) -> dict:
+    """Static psum payload of the full QC step (ops/qc_full)."""
+    dense = 3 * n_sites * 4
+    hists = 5 * 256 * 4
+    pileup = n_markers * pileup_cap * 4 + n_markers * 4
+    counters = 16 * 4
+    gather_cnt = n_markers * 4  # phase-A all-gather of per-marker counts
+    return {"dense": dense, "hists": hists, "pileup": pileup,
+            "counters": counters, "allgather_counts": gather_cnt,
+            "psum_total": dense + hists + pileup + counters}
+
+
+def model_comm_time(n_devices: int, payload: dict,
+                    chips_per_host: int | None = None) -> dict:
+    """Analytic collective time for the step's merges on n_devices.
+
+    chips_per_host=None models a single ICI domain (one host / pod
+    slice); otherwise hosts = n_devices // chips_per_host communicate
+    hierarchically: full psum on ICI within a host, then the host-axis
+    share on DCN."""
+    P = payload["psum_total"]
+    G = payload["allgather_counts"]
+
+    def ring(n, bytes_, bw):
+        if n <= 1:
+            return 0.0
+        wire = 2.0 * (n - 1) / n * bytes_ + (n - 1) / n * G
+        return wire / bw + 2 * (n - 1) * HOP_LAT
+
+    if chips_per_host is None or n_devices <= chips_per_host:
+        t_ici = ring(n_devices, P, ICI_BW)
+        return {"ici_s": t_ici, "dcn_s": 0.0, "total_s": t_ici}
+    hosts = max(1, n_devices // chips_per_host)
+    t_ici = ring(chips_per_host, P, ICI_BW)
+    t_dcn = ring(hosts, P, DCN_BW)
+    return {"ici_s": t_ici, "dcn_s": t_dcn, "total_s": t_ici + t_dcn}
+
+
+def modeled_efficiency(compute_s: float, n_devices: int, payload: dict,
+                       chips_per_host: int | None = None) -> float:
+    """Efficiency = per-shard compute / (compute + modeled comm): with
+    data-parallel sharding the per-shard compute is constant, so only
+    the collective adds."""
+    comm = model_comm_time(n_devices, payload, chips_per_host)["total_s"]
+    return compute_s / (compute_s + comm)
+
+
+def comm_report(n_sites: int = 1_805, n_markers: int = 9_787,
+                pileup_cap: int = 64,
+                compute_s: float = 0.5,
+                chips_per_host: int = 4) -> list[dict]:
+    """The auditable scaling claim: payload + modeled efficiency per
+    mesh size, defaults sized like the example panel (n_sites) and the
+    hapmap 9,787-marker production panel."""
+    payload = accumulator_bytes(n_sites, n_markers, pileup_cap)
+    rows = []
+    for nd in (1, 2, 4, 8, 16, 32, 64, 256):
+        t = model_comm_time(nd, payload, chips_per_host)
+        rows.append({
+            "devices": nd,
+            "psum_bytes": payload["psum_total"],
+            "ici_ms": round(t["ici_s"] * 1e3, 3),
+            "dcn_ms": round(t["dcn_s"] * 1e3, 3),
+            "modeled_efficiency": round(
+                modeled_efficiency(compute_s, nd, payload,
+                                   chips_per_host), 4),
+        })
+    return rows
+
 
 def measure_scaling(device_counts: list[int] | None = None,
                     reads_per_device: int = 4096, read_len: int = 151,
-                    n_bp: int = 1 << 20, repeats: int = 3) -> list[dict]:
+                    n_bp: int = 1 << 20, repeats: int = 3,
+                    full: bool = False) -> list[dict]:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..index.fmindex import FMIndex
     from ..ops.fm import DeviceFM
-    from .mesh import make_mesh, make_sharded_qc_step
+    from .mesh import make_mesh, make_sharded_qc_full_step, \
+        make_sharded_qc_step
 
     rng = np.random.default_rng(0)
     text = rng.integers(0, 4, n_bp).astype(np.uint8)
@@ -33,6 +123,13 @@ def measure_scaling(device_counts: list[int] | None = None,
     dev = DeviceFM.build(fm_f, fm_r)
     fm_arrays = {"words": dev.words, "occ": dev.occ, "sa": dev.sa,
                  "L2": dev.L2, "primary": dev.primary}
+    if full:
+        from ..ops.qc_full import synthetic_site_tables
+
+        tables = synthetic_site_tables(text)
+        payload = accumulator_bytes(tables.n_sites, tables.n_markers)
+    else:
+        payload = accumulator_bytes(n_bp, 0)
 
     avail = len(jax.devices())
     if device_counts is None:
@@ -42,7 +139,16 @@ def measure_scaling(device_counts: list[int] | None = None,
     base_rps = None
     for nd in device_counts:
         mesh = make_mesh(nd)
-        step = make_sharded_qc_step(mesh, fm_arrays, dev.n)
+        if full:
+            # 151bp reads at max_diff 4 need the production pool size
+            # (256 overflows every read into n_fallback)
+            opt_args = {"n_text": dev.n, "max_diff": 4, "use_seed": True,
+                        "pool": 1024, "inner": 16,
+                        "step_cap": 64 * read_len}
+            step = make_sharded_qc_full_step(mesh, fm_arrays, tables,
+                                             opt_args)
+        else:
+            step = make_sharded_qc_step(mesh, fm_arrays, dev.n)
         B = reads_per_device * nd
         seqs = np.zeros((B, read_len), dtype=np.int32)
         for b in range(B):
@@ -55,10 +161,16 @@ def measure_scaling(device_counts: list[int] | None = None,
         quals = rng.integers(20, 40, (B, read_len)).astype(np.int32)
         sh1 = NamedSharding(mesh, P("dp"))
         sh2 = NamedSharding(mesh, P("dp", None))
-        args = (jax.device_put(jnp.asarray(seqs_rev), sh2),
-                jax.device_put(jnp.asarray(rseqs), sh2),
-                jax.device_put(jnp.asarray(lens), sh1),
-                jax.device_put(jnp.asarray(quals), sh2))
+        if full:
+            args = (jax.device_put(jnp.asarray(seqs_rev), sh2),
+                    jax.device_put(jnp.asarray(rseqs), sh2),
+                    jax.device_put(jnp.asarray(quals), sh2),
+                    jax.device_put(jnp.asarray(lens), sh1))
+        else:
+            args = (jax.device_put(jnp.asarray(seqs_rev), sh2),
+                    jax.device_put(jnp.asarray(rseqs), sh2),
+                    jax.device_put(jnp.asarray(lens), sh1),
+                    jax.device_put(jnp.asarray(quals), sh2))
         out = step(*args)  # compile + warm
         jax.block_until_ready(out["depth"])
         best = float("inf")
@@ -71,9 +183,16 @@ def measure_scaling(device_counts: list[int] | None = None,
         if base_rps is None:
             base_rps = rps / nd * device_counts[0]
         eff = rps / (base_rps / device_counts[0] * nd)
-        results.append({"devices": nd, "reads_per_sec": round(rps, 1),
-                        "efficiency": round(eff, 3),
-                        "n_mapped": int(out["n_mapped"])})
+        results.append({
+            "devices": nd, "reads_per_sec": round(rps, 1),
+            "efficiency_measured": round(eff, 3),
+            "n_mapped": int(out["n_mapped"]),
+            "psum_bytes": payload["psum_total"],
+            "modeled_comm_ms": round(
+                model_comm_time(nd, payload)["total_s"] * 1e3, 3),
+            "efficiency_modeled": round(
+                modeled_efficiency(best, nd, payload), 4),
+        })
     return results
 
 
@@ -86,5 +205,13 @@ if __name__ == "__main__":
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
-    for r in measure_scaling():
+    print("# measured (virtual CPU mesh: host-bound; equality is the "
+          "meaningful part) + modeled (auditable)")
+    # small shapes: the point on this host is the comm accounting, not
+    # the (host-bound) throughput; full-step compiles are minutes each
+    for r in measure_scaling(full=True, reads_per_device=1024,
+                             read_len=100):
+        print(json.dumps(r))
+    print("# pure comm model at production panel scale:")
+    for r in comm_report():
         print(json.dumps(r))
