@@ -85,6 +85,7 @@ class SiteTables:
     text: jax.Array       # (n+1,) int32 codes (guard row 4)
     dbsnp: jax.Array      # (S,) bool over the dense site space
     is_xy: jax.Array      # (n+1,) bool: position on an X/Y contig
+    contig_id: jax.Array  # (n+1,) int32: contig index (guard row -1)
     n_sites: int = field(metadata=dict(static=True))
     n_markers: int = field(metadata=dict(static=True))
 
@@ -97,8 +98,10 @@ def build_site_tables(idx, sc, opt) -> SiteTables:
     site_idx = np.full(n + 1, -1, np.int32)
     marker_id = np.full(n + 1, -1, np.int32)
     is_xy = np.zeros(n + 1, bool)
+    contig_id = np.full(n + 1, -1, np.int32)
     sites = sc.sites
     for ci, contig in enumerate(idx.contigs):
+        contig_id[contig.offset:contig.offset + contig.length] = ci
         flank = opt.flank_long_len if contig.is_long else opt.flank_len
         start_real = contig.pos - flank  # 1-based real coord of pac offset
         chrom = contig.chrom[3:] if contig.chrom.startswith("chr") \
@@ -123,6 +126,7 @@ def build_site_tables(idx, sc, opt) -> SiteTables:
             [idx.text.astype(np.int32), [4]])),
         dbsnp=jnp.asarray(sites.dbsnp),
         is_xy=jnp.asarray(is_xy),
+        contig_id=jnp.asarray(contig_id),
         n_sites=int(sites.total),
         n_markers=len(sc.vcf_rec_vec))
 
@@ -149,6 +153,10 @@ def synthetic_site_tables(text: np.ndarray, n_markers: int = 8,
     dbsnp = (np.arange(S) % 3) == 0
     is_xy = np.zeros(n + 1, bool)
     is_xy[: n // 8] = True
+    contig_id = np.full(n + 1, -1, np.int32)
+    bounds = np.linspace(0, n, n_markers + 1).astype(np.int64)
+    for mi in range(n_markers):
+        contig_id[bounds[mi]:bounds[mi + 1]] = mi
     del rng
     return SiteTables(
         site_idx=jnp.asarray(site_idx),
@@ -156,6 +164,7 @@ def synthetic_site_tables(text: np.ndarray, n_markers: int = 8,
         text=jnp.asarray(np.concatenate([text.astype(np.int32), [4]])),
         dbsnp=jnp.asarray(dbsnp),
         is_xy=jnp.asarray(is_xy),
+        contig_id=jnp.asarray(contig_id),
         n_sites=S, n_markers=n_markers)
 
 
@@ -224,7 +233,8 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  pileup_cap: int = PILEUP_CAP,
                  marker_base: jax.Array | None = None,
                  md_table: jax.Array | None = None,
-                 return_per_read: bool = False):
+                 return_per_read: bool = False,
+                 pair_mode: bool = False):
     """One shard's full QC step (traceable; runs inside shard_map).
 
     seqs: (B, L) reversed codes; rseqs: (B, L) revcomp codes (both as
@@ -365,6 +375,36 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "n_base_mapped": in_reg.astype(jnp.int32).sum(),
         "n_xy": n_xy,
     }
+    if pair_mode:
+        # pair-lite statistics (StatCollector::processPairStatus, device
+        # semantics: SE-aligned ends, no clipping/mate rescue): rows
+        # (2i, 2i+1) form a pair; FR-ordered same-contig pairs with both
+        # mapQ > 0 feed the raw insert-size histogram, the pair counter
+        # and the PCR-duplicate key set (keys counted at merge level so
+        # the duplicate table is global across shards)
+        pp, pq = pos[0::2], pos[1::2]
+        sp, sq = strand[0::2], strand[1::2]
+        lp, lq = lens[0::2], lens[1::2]
+        mp = mapped[0::2] & (mapq[0::2] > 0)
+        mq_ = mapped[1::2] & (mapq[1::2] > 0)
+        cid = tables.contig_id[jnp.clip(pos, 0, n_text)]
+        same = (cid[0::2] == cid[1::2]) & (cid[0::2] >= 0)
+        both = mp & mq_ & same
+        fr1 = both & (sp == 0) & (sq == 1) & (pp < pq)   # p fwd, q rev
+        fr2 = both & (sq == 0) & (sp == 1) & (pq < pp)   # q fwd, p rev
+        isz = jnp.where(fr1, (pq + lq) - pp,
+                        jnp.where(fr2, (pp + lp) - pq, -1))
+        ok = (isz >= 0) & (isz < 4096)
+        isize_dist = jnp.zeros(4096, jnp.int32).at[
+            jnp.where(ok, isz, 0)].add(ok.astype(jnp.int32))
+        acc["isize_dist"] = isize_dist
+        acc["n_pair_reads"] = 2 * (fr1 | fr2).astype(jnp.int32).sum()
+        start = jnp.where(fr1, pp, pq)
+        end = jnp.where(fr1, pq + lq, pp + lp)
+        keyv = fr1 | fr2
+        acc["_pair_keys"] = jnp.stack(
+            [jnp.where(keyv, start, 0x7FFFFFFF),
+             jnp.where(keyv, end, 0x7FFFFFFF)], axis=1)  # (B//2, 2)
     if not return_per_read:
         return acc
     # per-read flags for the driver (NOT psum-able; the mesh wrapper
@@ -378,6 +418,19 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                              | (mapped & gapped & (mapq >= 20))),
     }
     return acc, per_read
+
+
+def count_pcr_dups(keys: jax.Array) -> jax.Array:
+    """num_pcr_dup from a (K, 2) multiset of (start, end) pac-coordinate
+    pair keys (0x7FFFFFFF sentinel rows = no proper pair).  Every repeat
+    of a key beyond its first occurrence counts 2 reads (the reference's
+    duplicate_table adds 2 per already-seen insert signature); the count
+    depends only on the multiset, so shard/gather order is free."""
+    order = jnp.lexsort((keys[:, 1], keys[:, 0]))
+    s = keys[order]
+    valid = s[:, 0] != 0x7FFFFFFF
+    same = (s[1:] == s[:-1]).all(axis=1) & valid[1:]
+    return 2 * same.astype(jnp.int32).sum()
 
 
 def local_pileup_counts(tables: SiteTables, opt_args, fm_arrays,

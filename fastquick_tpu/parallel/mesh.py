@@ -132,7 +132,7 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
                               bitmaps=None, thresh: int = 3,
                               pileup_cap: int = 64,
                               axis: str | tuple[str, ...] = "dp",
-                              md_table=None):
+                              md_table=None, pair_mode: bool = False):
     """The PRODUCT multi-chip step: reads data-parallel over `axis`,
     index + site tables replicated, the full inexact engine + the
     complete StatCollector accumulator set per shard, every tensor
@@ -152,7 +152,16 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
                "primary": primary}
         out = qc_step_full(fmd, tables, opt_args, seqs, rseqs, quals,
                            lens, bitmaps=bitmaps, thresh=thresh,
-                           pileup_cap=pileup_cap, md_table=md_table)
+                           pileup_cap=pileup_cap, md_table=md_table,
+                           pair_mode=pair_mode)
+        if pair_mode:
+            # PCR-dup counting needs the GLOBAL key multiset (the
+            # reference's duplicate_table spans the whole run): gather
+            # the per-shard keys; the count is computed identically on
+            # every shard AFTER the psum loop (it must not be summed)
+            gkeys = out.pop("_pair_keys")
+            for ax in reversed(axes):
+                gkeys = jax.lax.all_gather(gkeys, ax)
         M = tables.n_markers
         cnt = out["pileup_cnt"]  # (M,) this shard's entries per marker
         g = cnt
@@ -176,6 +185,10 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
             valid & (tgt >= pileup_cap)).astype(jnp.int32).sum()
         for ax in reversed(axes):  # psum ICI first, DCN last
             out = jax.tree.map(lambda x, _ax=ax: jax.lax.psum(x, _ax), out)
+        if pair_mode:
+            from ..ops.qc_full import count_pcr_dups
+
+            out["n_pcr_dup"] = count_pcr_dups(gkeys.reshape(-1, 2))
         return out
 
     shard_axes = axes if len(axes) > 1 else axes[0]

@@ -179,6 +179,70 @@ def test_single_device_accumulators_sane(world):
     assert (base <= 4).all() and (qual <= 93).all() and (mapq <= 127).all()
 
 
+def make_pair_reads(text, n_pairs, L, seed=9):
+    """FR pairs (fwd end + revcomp end ~200bp downstream); every 5th
+    pair duplicates the previous one (PCR-dup counting)."""
+    rng = np.random.default_rng(seed)
+    B = 2 * n_pairs
+    seqs = np.full((B, L), 4, np.int32)
+    rseqs = np.full((B, L), 4, np.int32)
+    quals = np.full((B, L), 30, np.int32)
+    lens = np.full(B, L, np.int32)
+    starts = []
+    for i in range(n_pairs):
+        if i % 5 == 4 and starts:
+            s = starts[-1]
+        else:
+            s = int(rng.integers(0, len(text) - L - 220))
+        starts.append(s)
+        fwd = text[s:s + L].astype(np.int32)
+        mate = text[s + 200:s + 200 + L].astype(np.int32)
+        rc = (3 - mate)[::-1]
+        seqs[2 * i, :] = fwd[::-1]
+        rseqs[2 * i, :] = (3 - fwd)[::-1]
+        seqs[2 * i + 1, :] = rc[::-1]
+        rseqs[2 * i + 1, :] = (3 - rc)[::-1]
+    return seqs, rseqs, quals, lens
+
+
+def test_pair_mode_mesh_equals_single(world):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fastquick_tpu.ops.qc_full import count_pcr_dups, qc_step_full
+    from fastquick_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_qc_full_step,
+    )
+
+    text, dev, tables, fm_arrays = world
+    B, L = 64, 100
+    seqs, rseqs, quals, lens = make_pair_reads(np.asarray(text), B // 2, L)
+    ref = qc_step_full(
+        fm_arrays, tables, opt_args_for(dev, L),
+        jnp.asarray(seqs), jnp.asarray(rseqs), jnp.asarray(quals),
+        jnp.asarray(lens), md_table=md_table_for(L, GapOpt()),
+        pair_mode=True)
+    ref["n_pcr_dup"] = count_pcr_dups(ref.pop("_pair_keys"))
+    assert int(ref["n_pair_reads"]) > 0
+    assert int(ref["n_pcr_dup"]) > 0  # the seeded duplicates
+    assert int(np.asarray(ref["isize_dist"]).sum()) \
+        == int(ref["n_pair_reads"]) // 2
+
+    mesh = make_mesh(8)
+    step = make_sharded_qc_full_step(
+        mesh, fm_arrays, tables, opt_args_for(dev, L), axis="dp",
+        md_table=md_table_for(L, GapOpt()), pair_mode=True)
+    sh1 = NamedSharding(mesh, P("dp"))
+    sh2 = NamedSharding(mesh, P("dp", None))
+    out = step(jax.device_put(jnp.asarray(seqs), sh2),
+               jax.device_put(jnp.asarray(rseqs), sh2),
+               jax.device_put(jnp.asarray(quals), sh2),
+               jax.device_put(jnp.asarray(lens), sh1))
+    for key in ALL_KEYS + ("isize_dist", "n_pair_reads", "n_pcr_dup"):
+        np.testing.assert_array_equal(
+            np.asarray(out[key]), np.asarray(ref[key]), err_msg=key)
+
+
 @pytest.mark.parametrize("layout", ["1d", "2d"])
 def test_mesh_equals_single_device(world, layout):
     from fastquick_tpu.parallel.mesh import (
