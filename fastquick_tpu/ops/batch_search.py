@@ -111,9 +111,13 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         return jnp.where(m, val[:, None], arr)
 
     # ---- whole-batch precompute (vectorized scans) ----
-    w0_all = jnp.stack(
-        [cal_width(fm, 0, seqs_all[:, 0, :], lens_all),
-         cal_width(fm, 1, seqs_all[:, 1, :], lens_all)], axis=1)
+    # both strands ride ONE scan (per-row index selector): halves the
+    # per-step fixed costs of the L sequential backward_ext steps
+    sel2 = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)])
+    w0_flat = cal_width(
+        fm, sel2, jnp.concatenate([seqs_all[:, 0, :], seqs_all[:, 1, :]]),
+        jnp.concatenate([lens_all, lens_all]))
+    w0_all = jnp.stack([w0_flat[:N], w0_flat[N:]], axis=1)
     # seed widths over the last seed_len bases (only meaningful where
     # use_seed; gather the seed slice per read)
     spos = (jnp.clip(lens_all - seed_len, 0, L)[:, None]
@@ -123,10 +127,11 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         use_seed_all[:, None, None],
         jnp.take_along_axis(seqs_all, sidx[:, None, :].repeat(2, 1), axis=2),
         4)
-    sl_lens = jnp.full(N, seed_len, jnp.int32)
-    seed_w_all = jnp.stack(
-        [cal_width(fm, 0, seed_seqs[:, 0], sl_lens),
-         cal_width(fm, 1, seed_seqs[:, 1], sl_lens)], axis=1)
+    sl_lens = jnp.full(2 * N, seed_len, jnp.int32)
+    sw_flat = cal_width(
+        fm, sel2, jnp.concatenate([seed_seqs[:, 0], seed_seqs[:, 1]]),
+        sl_lens)
+    seed_w_all = jnp.stack([sw_flat[:N], sw_flat[N:]], axis=1)
     n_n_all = ((seqs_all[:, 0, :] > 3)
                & (jnp.arange(L)[None, :] < lens_all[:, None])).sum(axis=1)
 
@@ -168,15 +173,21 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             best_cnt=jnp.zeros_like(lens),
             n_aln=jnp.zeros_like(lens),
             alns=jnp.zeros((read_ids.shape[0], A_MAX, 7), jnp.int32),
-            wcb=w0_all[r],  # (B, 2, L+1, 2): [..., 0]=w, [..., 1]=bid
+            # width state as four (B, L+1) planes (minor axis = position)
+            # -- the packed (B,2,L+1,2) form lowered to 2-lane tiles and
+            # cost ~77us/iter across reads+the gap_shadow update
+            ww0=w0_all[r, 0, :, 0], wb0=w0_all[r, 0, :, 1],
+            ww1=w0_all[r, 1, :, 0], wb1=w0_all[r, 1, :, 1],
+            sw0=seed_w_all[r, 0], sw1=seed_w_all[r, 1],  # (B, SL+1, 2)
             ch_on=jnp.zeros_like(valid),
             ch=jnp.zeros((read_ids.shape[0], 8), jnp.int32),
             done=dead, overflow=jnp.zeros_like(valid),
             steps=jnp.zeros_like(lens))
 
-    LANE_KEYS = ("read_idx", "seqs", "lens", "md0", "max_diff", "use_seed", "pool",
-                 "heads", "freelist", "free_top", "n_entries", "best_score",
-                 "best_cnt", "n_aln", "alns", "wcb", "ch_on", "ch",
+    LANE_KEYS = ("read_idx", "seqs", "lens", "md0", "max_diff", "use_seed",
+                 "pool", "heads", "freelist", "free_top", "n_entries",
+                 "best_score", "best_cnt", "n_aln", "alns",
+                 "ww0", "wb0", "ww1", "wb1", "sw0", "sw1", "ch_on", "ch",
                  "done", "overflow", "steps")
 
     def inner_step(st, _):
@@ -187,7 +198,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         freelist, free_top = st["freelist"], st["free_top"]
         n_entries = st["n_entries"]
         ch_on, ch = st["ch_on"], st["ch"]
-        wcb = st["wcb"]
+        ww0, wb0 = st["ww0"], st["wb0"]
+        ww1, wb1 = st["ww1"], st["wb1"]
         lens, md0, max_diff = st["lens"], st["md0"], st["max_diff"]
 
         avail = ~done
@@ -228,13 +240,20 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         alive = can_pop & ~stop
         m = max_diff - (n_mm + n_gapo) - n_gape  # GAPE mode
         alive = alive & (m >= 0)
-        # width rows at i-1 and i-2 (two row gathers serve the pop prune
-        # AND the expansion gates: wb(i-1) is reused as wb_i2 below)
+        # width values at i-1 and i-2 (serve the pop prune AND the
+        # expansion gates): per-lane strand select over the planes fused
+        # with a one-hot column reduction -- one streaming pass each
         i2 = i - 1
-        wrow1 = wcb[binds, a, jnp.clip(i2, 0, L)]      # (B, 2) at i-1
-        wrow0 = wcb[binds, a, jnp.clip(i2 - 1, 0, L)]  # (B, 2) at i-2
-        ww_i2, wb_i2 = wrow1[:, 0], wrow1[:, 1]
-        ww_i2m1, wb_i2m1 = wrow0[:, 0], wrow0[:, 1]
+        pos_iota = jnp.arange(L + 1)[None, :]
+        m_i2 = pos_iota == jnp.clip(i2, 0, L)[:, None]       # (B, L+1)
+        m_i2m1 = pos_iota == jnp.clip(i2 - 1, 0, L)[:, None]
+        a0 = (a == 0)[:, None]
+        ww_sel = jnp.where(a0, ww0, ww1)
+        wb_sel = jnp.where(a0, wb0, wb1)
+        ww_i2 = jnp.where(m_i2, ww_sel, 0).sum(axis=1)
+        wb_i2 = jnp.where(m_i2, wb_sel, 0).sum(axis=1)
+        ww_i2m1 = jnp.where(m_i2m1, ww_sel, 0).sum(axis=1)
+        wb_i2m1 = jnp.where(m_i2m1, wb_sel, 0).sum(axis=1)
         alive = alive & ~((i > 0) & (m < wb_i2))
 
         hit_i0 = alive & (i == 0)
@@ -311,21 +330,21 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             do_add_sh = jnp.zeros_like(do_add)
         else:
             do_add_sh = do_add
-        pos = jnp.arange(L + 1)[None, :]
-        wcb_a = jnp.take_along_axis(
-            wcb, jnp.clip(ha, 0, 1)[:, None, None, None],
-            axis=1)[:, 0]  # (B, L+1, 2)
-        ww_a, wb_a = wcb_a[:, :, 0], wcb_a[:, :, 1]
-        in_rng = (pos < hldp[:, None]) & do_add_sh[:, None]
+        ha0 = (ha == 0)[:, None]
+        ww_a = jnp.where(ha0, ww0, ww1)  # (B, L+1) hit strand's planes
+        wb_a = jnp.where(ha0, wb0, wb1)
+        in_rng = (pos_iota < hldp[:, None]) & do_add_sh[:, None]
         eqx = (ww_a == x[:, None]) & in_rng
         jcum = jnp.cumsum(eqx.astype(jnp.int32), axis=1)
         ww_new = jnp.where(in_rng & (ww_a > x[:, None]), ww_a - x[:, None],
                            jnp.where(eqx, n - jcum, ww_a))
         wb_new = jnp.where(eqx, 1, wb_a)
-        sel_a = (jnp.arange(2)[None, :] == jnp.clip(ha, 0, 1)[:, None]
-                 ) & do_add_sh[:, None]  # (B, 2)
-        wnew = jnp.stack([ww_new, wb_new], axis=-1)  # (B, L+1, 2)
-        wcb = jnp.where(sel_a[:, :, None, None], wnew[:, None], wcb)
+        upd0 = (do_add_sh & (ha == 0))[:, None]
+        upd1 = (do_add_sh & (ha == 1))[:, None]
+        ww0 = jnp.where(upd0, ww_new, ww0)
+        wb0 = jnp.where(upd0, wb_new, wb0)
+        ww1 = jnp.where(upd1, ww_new, ww1)
+        wb1 = jnp.where(upd1, wb_new, wb1)
         arow = jnp.stack([hmm, hgo, hge, ha, hk, hl, score], axis=1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
         overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))

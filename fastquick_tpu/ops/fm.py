@@ -130,10 +130,17 @@ def occ1(fm: DeviceFM, sel: jax.Array, k: jax.Array, c: jax.Array) -> jax.Array:
 
 def backward_ext(fm: DeviceFM, sel: jax.Array, k: jax.Array, l: jax.Array,
                  c: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """One backward-search step: closed interval [k,l] extended by c."""
-    ok = occ1(fm, sel, k - 1, c)
-    ol = occ1(fm, sel, l, c)
-    L2c = fm.L2[sel, c]
+    """One backward-search step: closed interval [k,l] extended by c.
+    One fused 2B-row table gather + one-hot char/L2 selects (point
+    gathers cost ~12us fixed each on TPU; this path runs L times per
+    cal_width/match_exact scan)."""
+    ok4, ol4 = occ4_pair(fm, sel, k - 1, l)
+    selc = jnp.arange(4)[None, :] == c[:, None]  # (B, 4)
+    ok = jnp.where(selc, ok4, 0).sum(axis=1)
+    ol = jnp.where(selc, ol4, 0).sum(axis=1)
+    L2row = jnp.where((sel == 0)[:, None], fm.L2[0][None, :],
+                      fm.L2[1][None, :])
+    L2c = jnp.where(selc, L2row, 0).sum(axis=1)
     return L2c + ok + 1, L2c + ol
 
 
@@ -142,16 +149,18 @@ def sa_lookup(fm: DeviceFM, sel: jax.Array, row: jax.Array) -> jax.Array:
     return fm.sa[sel, row]
 
 
-def cal_width(fm: DeviceFM, sel_scalar: int, seqs: jax.Array,
+def cal_width(fm: DeviceFM, sel_scalar, seqs: jax.Array,
               lens: jax.Array) -> jax.Array:
     """Batched bwt_cal_width (libbwa/bwtaln.c:73-97).
 
-    seqs: (B, L) codes (0..4); lens: (B,).  Returns (B, L+1, 2) int32
-    [w, bid]; the entry at index lens[b] holds (0, bid_final+1).
+    seqs: (B, L) codes (0..4); lens: (B,); sel_scalar: index selector
+    (scalar or per-row array -- both strands can share ONE scan).
+    Returns (B, L+1, 2) int32 [w, bid]; the entry at index lens[b]
+    holds (0, bid_final+1).
     """
     seqs = jnp.asarray(seqs)
     B, L = seqs.shape
-    sel = jnp.full((B,), sel_scalar, dtype=jnp.int32)
+    sel = jnp.broadcast_to(jnp.asarray(sel_scalar, dtype=jnp.int32), (B,))
     n = fm.n
 
     def step(carry, i):
