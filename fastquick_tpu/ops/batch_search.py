@@ -369,8 +369,15 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         if "nowidthg" in ablate:
             sw_iim1 = sw_ii = jnp.stack([zz, zz], axis=1)
         else:
-            sw_iim1 = seed_w_all[rclip, a, jnp.clip(ii - 1, 0, seed_len)]
-            sw_ii = seed_w_all[rclip, a, jnp.clip(ii, 0, seed_len)]
+            # lane-local seed planes (same one-hot reduction as the main
+            # width planes; avoids a global (N,...) gather per iteration)
+            sw_sel = jnp.where((a == 0)[:, None, None], st["sw0"],
+                               st["sw1"])  # (B, SL+1, 2)
+            sp_iota = jnp.arange(sw_sel.shape[1])[None, :]
+            m_ii1 = (sp_iota == jnp.clip(ii - 1, 0, seed_len)[:, None])
+            m_ii = (sp_iota == jnp.clip(ii, 0, seed_len)[:, None])
+            sw_iim1 = jnp.where(m_ii1[:, :, None], sw_sel, 0).sum(axis=1)
+            sw_ii = jnp.where(m_ii[:, :, None], sw_sel, 0).sum(axis=1)
         seed_on = st["use_seed"] & (i2 > 0) & (ii > 0)
         allow_diff = allow_diff & ~(seed_on & (sw_iim1[:, 1] > msd - 1))
         allow_m = allow_m & ~(seed_on & (sw_iim1[:, 1] == msd - 1)
@@ -494,7 +501,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
                     freelist=freelist, free_top=free_top,
                     n_entries=n_entries, best_score=best_score,
                     best_cnt=best_cnt, n_aln=n_aln, alns=alns,
-                    wcb=wcb, ch_on=ch_on, ch=ch,
+                    ww0=ww0, wb0=wb0, ww1=ww1, wb1=wb1,
+                    sw0=st["sw0"], sw1=st["sw1"], ch_on=ch_on, ch=ch,
                     done=done, overflow=overflow, steps=steps), None
 
     def outer_cond(c):
