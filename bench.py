@@ -56,14 +56,15 @@ def device_kernel_bytes_per_iter(lanes: int, pool: int, read_len: int,
                                  nbuck: int = 128, a_max: int = 48) -> int:
     """Static HBM traffic of one lockstep-search iteration (the device
     engine is bandwidth/latency bound, not FLOPs bound -- this is the
-    denominator of its speed-of-light fraction).  Entries are 8 x int32;
-    the push select chain reads+writes the pool once (XLA fuses the 9
-    one-hot writes; verified in the profiler trace)."""
+    denominator of its speed-of-light fraction).  Entries are 5 x int32
+    (k, l, ai, mm|go<<6|ge<<12|ldp<<18, next); the push select chain
+    reads+writes the pool once (XLA fuses the 9 one-hot writes;
+    verified in the profiler trace)."""
     B = lanes
-    pool_rw = 2 * B * pool * 8 * 4      # push chain: read + write
+    pool_rw = 2 * B * pool * 5 * 4      # push chain: read + write
     freelist = 3 * B * pool * 4         # write-back + window + update
     heads = 3 * B * nbuck * 4
-    widths = 2 * B * 2 * (read_len + 1) * 2 * 4  # wcb read rows + update
+    widths = 2 * B * 2 * (read_len + 1) * 2 * 4  # width planes r/w
     alns = 2 * B * a_max * 7 * 4
     occ = 2 * 2 * B * (8 + 4) * 4       # 2 rank pairs: words8 + ckpt rows
     seqs = B * 2 * read_len * 4

@@ -50,7 +50,12 @@ STATE_M, STATE_I, STATE_D = 0, 1, 2
 
 A_MAX = 48  # max recorded hits per read
 NBUCK = 128  # score buckets (init best_score + s_mm + s_gapo < 128 always)
-F_K, F_L, F_AI, F_MM, F_GO, F_GE, F_LDP, F_NEXT = range(8)
+# pool entry = 5 int32 words: k, l, ai (state<<21 | a<<20 | i), diff
+# (mm | go<<6 | ge<<12 | ldp<<18; mm/go/ge <= max_diff+1 <= 63, ldp is a
+# read position <= 16383), next.  8 -> 5 words cut the dominant HBM
+# traffic (the per-iteration full-pool one-hot read+write) by 37%.
+F_K, F_L, F_AI, F_DIFF, F_NEXT = range(5)
+NWORD = 5
 
 # tunables (static; env-overridable for on-chip experiments)
 DEF_LANES = int(os.environ.get("FQ_BS_LANES", 1024))
@@ -151,11 +156,10 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         dead = ~valid | (n_n_all[r] > md)
         # slot 0 = (a=0, i=len), slot 1 = (a=1, i=len); head -> slot 1
         e0 = jnp.stack([jnp.zeros_like(lens), jnp.full_like(lens, n),
-                        lens, jnp.zeros_like(lens), jnp.zeros_like(lens),
-                        jnp.zeros_like(lens), jnp.zeros_like(lens),
+                        lens, jnp.zeros_like(lens),
                         jnp.full_like(lens, -1)], axis=1)
         e1 = e0.at[:, F_AI].set((1 << 20) | lens).at[:, F_NEXT].set(0)
-        pool = jnp.zeros((read_ids.shape[0], NP, 8), jnp.int32)
+        pool = jnp.zeros((read_ids.shape[0], NP, NWORD), jnp.int32)
         pool = pool.at[:, 0].set(e0).at[:, 1].set(e1)
         heads = jnp.full((read_ids.shape[0], NBUCK), -1, jnp.int32)
         heads = heads.at[:, 0].set(jnp.where(dead, -1, 1))
@@ -219,7 +223,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         if "nopop" in ablate:  # profiling only
             e = pool[:, 0] + slot_c[:, None]
         else:
-            e = pool[binds, slot_c]  # (B, 8)
+            e = pool[binds, slot_c]  # (B, NWORD)
         heads = oh_set(heads, jnp.clip(bucket, 0, NBUCK - 1), e[:, F_NEXT],
                        can_pop)
         freelist = oh_set(freelist, jnp.clip(free_top, 0, NP - 1), slot_c,
@@ -231,8 +235,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         a = (e[:, F_AI] >> 20) & 1
         i = e[:, F_AI] & 0xFFFF
         state = e[:, F_AI] >> 21
-        n_mm, n_gapo, n_gape = e[:, F_MM], e[:, F_GO], e[:, F_GE]
-        ldp = e[:, F_LDP]
+        d = e[:, F_DIFF]
+        n_mm, n_gapo, n_gape = d & 63, (d >> 6) & 63, (d >> 12) & 63
+        ldp = d >> 18
         e_score = bucket
 
         stop = can_pop & (e_score > st["best_score"] + s_mm)
@@ -402,8 +407,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             cvalid.append(mask)
             cscore.append(sc)
             crows.append(jnp.stack(
-                [pk, pl, (pst << 21) | (pa << 20) | pi, pmm, pgo, pge, pldp],
-                axis=1))
+                [pk, pl, (pst << 21) | (pa << 20) | pi,
+                 pmm | (pgo << 6) | (pge << 12) | (pldp << 18)], axis=1))
 
         child(ins_open | ins_ext, a, i2, k, l, n_mm,
               n_gapo + ins_open.astype(jnp.int32),
@@ -480,7 +485,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             is_last = is_last.at[:, ci_].set(valid[:, ci_] & ~later)
 
         rows = jnp.concatenate(
-            [jnp.stack(crows, axis=1), nexts[:, :, None]], axis=2)  # (B,NCH,8)
+            [jnp.stack(crows, axis=1), nexts[:, :, None]],
+            axis=2)  # (B, NCH, NWORD)
         if "nopush" not in ablate:  # ablation is profiling-only
             for ci_ in range(NCH):
                 pool = oh_set(pool, slots[:, ci_], rows[:, ci_],
