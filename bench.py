@@ -16,11 +16,15 @@ intermittently hangs on repeat dispatches (see CLAUDE.md); measured
 device numbers: k-mer filter 262k reads in 0.2ms on-chip.
 
 vs_baseline: the reference C pipeline has no published numbers
-(BASELINE.json.published == {}); comparison points are estimates for the
-reference on THIS host: bwt_match_gap at roughly 25k reads/s/core for
-151bp reads (so 25k x n_cores for the aligner benchmark; the reference
-driver passes `nproc` threads), and ~1M reads/s for the
-filter-dominated e2e stream (BASELINE_E2E_READS_PER_SEC below).
+(BASELINE.json.published == {}), so the bench MEASURES it: the test
+harness compiles the reference's own libbwa from /root/reference at
+run time (fastquick_tpu/testing/refbwa.py) and this script times
+bwt_match_gap over the same bench world + read mix in the exact
+bwa_cal_sa_reg_gap loop shape, threaded across all host cores like the
+reference driver (`nproc` threads).  vs_baseline = ours / measured.
+If /root/reference is absent the old 25k reads/s/core estimate is the
+fallback (reported as baseline_source="estimate").  The e2e stream mode
+still uses an estimate (~1M reads/s, filter-dominated).
 
 The default mode reports the production native number as the headline
 metric AND, in the same JSON object, the on-chip device-engine number
@@ -214,6 +218,57 @@ def bench_e2e(idx, n_reads: int, read_len: int) -> dict:
             "kept": len(survivors)}
 
 
+def measure_reference(idx, reads, opt, reps: int = 3) -> float | None:
+    """Time the compiled reference libbwa's bwt_match_gap over the same
+    reads, one thread per host core (the reference driver passes nproc
+    threads; ctypes releases the GIL so threads use real cores).
+    Returns reads/s or None if the reference tree is unavailable."""
+    import threading
+
+    from fastquick_tpu.align.opts import bwa_cal_maxdiff
+    from fastquick_tpu.testing import refbwa
+
+    if not refbwa.available():
+        return None
+    try:
+        rb = refbwa.RefBwa(idx.text)
+    except Exception as e:
+        print(f"# reference build failed: {e}", file=sys.stderr)
+        return None
+    n = len(reads)
+    stride = max(p.len for p in reads)
+    s0 = np.zeros((n, stride), dtype=np.uint8)
+    s1 = np.zeros((n, stride), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int32)
+    mds = np.zeros(n, dtype=np.int32)
+    for i, p in enumerate(reads):
+        s0[i, : p.len] = p.seq[: p.len]
+        s1[i, : p.len] = p.rseq[: p.len]
+        lens[i] = p.len
+        mds[i] = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
+                  if opt.fnr > 0.0 else opt.max_diff)
+    ncore = os.cpu_count() or 1
+    bounds = [(n * t // ncore, n * (t + 1) // ncore) for t in range(ncore)]
+    rb.match_gap_batch(s0[:256], s1[:256], lens[:256], mds[:256],
+                       opt)  # warm caches
+    best = float("inf")
+    for _ in range(reps):
+        ths = [threading.Thread(
+            target=rb.match_gap_batch,
+            args=(s0[a:b], s1[a:b], lens[a:b], mds[a:b], opt))
+            for a, b in bounds]
+        t0 = time.time()
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        best = min(best, time.time() - t0)
+    rps = n / best
+    print(f"# reference libbwa: {n} reads in {best:.2f}s on {ncore} "
+          f"threads -> {rps:.0f} reads/s", file=sys.stderr)
+    return rps
+
+
 def main() -> int:
     from fastquick_tpu.align.opts import GapOpt
 
@@ -272,11 +327,20 @@ def main() -> int:
     print(f"# engine={which}: {n_reads} reads in {dt:.2f}s (best of {reps}), "
           f"{n_mapped} with hits", file=sys.stderr)
 
+    baseline = BASELINE_READS_PER_SEC
+    baseline_source = "estimate"
+    if os.environ.get("FQ_BENCH_MEASURE_REF", "1") == "1":
+        ref_rps = measure_reference(idx, reads, opt)
+        if ref_rps is not None:
+            baseline = ref_rps
+            baseline_source = "measured"
     out = {
         "metric": "aligned_reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(rps / baseline, 3),
+        "baseline_reads_per_sec": round(baseline, 1),
+        "baseline_source": baseline_source,
     }
     if which == "tpu":
         iters = engine.last_iters
@@ -302,7 +366,8 @@ def main() -> int:
         import subprocess
 
         env = dict(os.environ, FQ_BENCH_ENGINE="tpu",
-                   FQ_BENCH_READS="4096", FQ_BENCH_TPU_SUB="0")
+                   FQ_BENCH_READS="4096", FQ_BENCH_TPU_SUB="0",
+                   FQ_BENCH_MEASURE_REF="0")
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,

@@ -52,14 +52,21 @@ A_MAX = 48  # max recorded hits per read
 NBUCK = 128  # score buckets (init best_score + s_mm + s_gapo < 128 always)
 # pool entry = 5 int32 words: k, l, ai (state<<21 | a<<20 | i), diff
 # (mm | go<<6 | ge<<12 | ldp<<18; mm/go/ge <= max_diff+1 <= 63, ldp is a
-# read position <= 16383), next.  8 -> 5 words cut the dominant HBM
-# traffic (the per-iteration full-pool one-hot read+write) by 37%.
+# read position <= MAX_READ_LEN: the unpack `d >> 18` is an arithmetic
+# shift on int32, so ldp >= 8192 would set the sign bit when packed and
+# sign-extend on unpack -- longer reads are routed to the exact host
+# engine in _run_chunk).  8 -> 5 words cut the dominant HBM traffic
+# (the per-iteration full-pool one-hot read+write) by 37%.
 F_K, F_L, F_AI, F_DIFF, F_NEXT = range(5)
 NWORD = 5
+MAX_READ_LEN = 8191  # ldp pack bound (see pool-entry comment above)
 
 # tunables (static; env-overridable for on-chip experiments)
 DEF_LANES = int(os.environ.get("FQ_BS_LANES", 1024))
-DEF_POOL = int(os.environ.get("FQ_BS_POOL", 1024))
+# pool=512 measured 5,668.6 reads/s on-chip vs 4,117.6 at 1024 (commit
+# cc42fca A/B): the full-pool one-hot push pass dominates traffic and
+# fallback stays cheap (~30ms host work at 25% fallback)
+DEF_POOL = int(os.environ.get("FQ_BS_POOL", 512))
 DEF_INNER = int(os.environ.get("FQ_BS_INNER", 32))
 # per-lane step cap: tail reads grind lanes alone (31% lane utilization
 # measured at a 64*L cap vs 69% at 768); capped reads fall back to the
@@ -585,6 +592,22 @@ class BatchEngine:
             self._run_chunk(todo[s:s + self.max_batch], opt)
 
     def _run_chunk(self, todo, opt: GapOpt) -> None:
+        if not todo:
+            return
+        # diff-word field bounds: mm/go/ge are 6-bit; the NBUCK bad_score
+        # guard keeps counts <= (NBUCK-1)//penalty, which must fit in 63
+        # or a lowered penalty would silently carry into adjacent fields
+        for pen in (opt.s_mm, opt.s_gapo, opt.s_gape):
+            assert (NBUCK - 1) // max(pen, 1) <= 63, (
+                f"penalty {pen} admits >63 events within {NBUCK} score "
+                "buckets; diff-word packing would overflow")
+        # ldp packs into 13 bits (arithmetic >>18 sign-extends beyond
+        # 8191): long reads take the exact host engine
+        long_reads = [p for p in todo if p.len > MAX_READ_LEN]
+        if long_reads:
+            self.host.align_batch(long_reads, opt)
+            self.last_fallback += len(long_reads)
+            todo = [p for p in todo if p.len <= MAX_READ_LEN]
         if not todo:
             return
         B = len(todo)

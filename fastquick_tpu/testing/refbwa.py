@@ -93,6 +93,9 @@ def get_lib():
     lib.rb_match_gap.restype = c.c_int32
     lib.rb_match_gap.argtypes = [c.c_void_p] + [c.c_int32] * 1 + \
         [c.c_void_p] * 2 + [c.c_int32] * 12 + [c.c_void_p, c.c_int32]
+    lib.rb_match_gap_batch.restype = c.c_int64
+    lib.rb_match_gap_batch.argtypes = [c.c_void_p, c.c_int32, c.c_int32] + \
+        [c.c_void_p] * 4 + [c.c_int32] * 10 + [c.c_void_p]
     lib.rb_aln2seq.restype = c.c_int32
     lib.rb_aln2seq.argtypes = [c.c_int32, c.c_void_p, c.c_int64, c.c_int32,
                                c.c_int32, c.c_int32, c.c_int32, c.c_void_p,
@@ -165,6 +168,27 @@ class RefBwa:
             opt.indel_end_skip, opt.max_del_occ, opt.max_entries,
             opt.max_top2, opt.seed_len, opt.max_seed_diff, _vp(out), cap)
         return out[:n].copy()
+
+    def match_gap_batch(self, seqs0: np.ndarray, seqs1: np.ndarray,
+                        lens: np.ndarray, max_diffs: np.ndarray,
+                        opt) -> tuple[int, np.ndarray]:
+        """Timing-grade batch loop (bwa_cal_sa_reg_gap shape: one stack +
+        width buffers reused across reads).  seqs0/seqs1: (N, stride)
+        uint8 padded code arrays.  Releases the GIL (plain ctypes call),
+        so parallel threads measure real multi-core reference throughput.
+        Returns (total SA rows hit, per-read n_aln)."""
+        s0 = np.ascontiguousarray(seqs0, dtype=np.uint8)
+        s1 = np.ascontiguousarray(seqs1, dtype=np.uint8)
+        ln = np.ascontiguousarray(lens, dtype=np.int32)
+        md = np.ascontiguousarray(max_diffs, dtype=np.int32)
+        n_aln = np.zeros(len(ln), dtype=np.int32)
+        total = self.lib.rb_match_gap_batch(
+            self.h, len(ln), s0.shape[1], _vp(s0), _vp(s1), _vp(ln),
+            _vp(md), opt.s_mm, opt.s_gapo, opt.s_gape, opt.max_gapo,
+            opt.max_gape, opt.indel_end_skip, opt.max_del_occ,
+            opt.max_entries, opt.max_top2, opt.seed_len,
+            opt.max_seed_diff, _vp(n_aln))
+        return int(total), n_aln
 
     def aln2seq(self, aln_rows: np.ndarray, seed: int, set_main: int,
                 n_multi: int, length: int, max_diff: int,

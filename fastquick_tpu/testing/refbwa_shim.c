@@ -241,6 +241,96 @@ int32_t rb_match_gap(void *vh, int32_t len, const uint8_t *seq0,
     return n_aln < cap ? n_aln : cap;
 }
 
+/* Batch driver with the exact loop shape of bwa_cal_sa_reg_gap
+ * (src/BwtMapper.cpp:63-168): ONE gap stack + width buffers reused
+ * across all reads (the reference amortizes those allocations per
+ * thread, so a per-read-init timing would overstate its cost).  Used to
+ * MEASURE the reference search throughput for bench.py's vs_baseline.
+ * seqs0/seqs1: n_reads x stride padded code arrays.  max_diffs: per-read
+ * resolved max_diff.  Fills n_aln_out per read; returns total hits. */
+int64_t rb_match_gap_batch(void *vh, int32_t n_reads, int32_t stride,
+                           const uint8_t *seqs0, const uint8_t *seqs1,
+                           const int32_t *lens, const int32_t *max_diffs,
+                           int32_t s_mm, int32_t s_gapo, int32_t s_gape,
+                           int32_t max_gapo, int32_t max_gape,
+                           int32_t indel_end_skip, int32_t max_del_occ,
+                           int32_t max_entries, int32_t max_top2,
+                           int32_t seed_len, int32_t max_seed_diff,
+                           int32_t *n_aln_out)
+{
+    rb_handle *h = (rb_handle *)vh;
+    gap_opt_t *opt = gap_init_opt();
+    gap_stack_t *stack;
+    bwt_width_t *w[2], *seed_w[2];
+    const ubyte_t *seq[2];
+    int64_t total = 0;
+    int r, max_len = 0, batch_max_diff = 0;
+
+    for (r = 0; r < n_reads; ++r) {
+        if (lens[r] > max_len) max_len = lens[r];
+        if (max_diffs[r] > batch_max_diff) batch_max_diff = max_diffs[r];
+    }
+    opt->s_mm = s_mm;
+    opt->s_gapo = s_gapo;
+    opt->s_gape = s_gape;
+    opt->max_gapo = max_gapo;
+    opt->max_gape = max_gape;
+    opt->indel_end_skip = indel_end_skip;
+    opt->max_del_occ = max_del_occ;
+    opt->max_entries = max_entries;
+    opt->max_top2 = max_top2;
+    opt->max_seed_diff = max_seed_diff;
+    opt->fnr = 0.0;
+    stack = gap_init_stack(batch_max_diff,
+                           max_gapo < batch_max_diff ? max_gapo
+                                                     : batch_max_diff,
+                           max_gape, opt);
+    w[0] = (bwt_width_t *)calloc((size_t)max_len + 1, sizeof(bwt_width_t));
+    w[1] = (bwt_width_t *)calloc((size_t)max_len + 1, sizeof(bwt_width_t));
+    seed_w[0] =
+        (bwt_width_t *)calloc((size_t)seed_len + 1, sizeof(bwt_width_t));
+    seed_w[1] =
+        (bwt_width_t *)calloc((size_t)seed_len + 1, sizeof(bwt_width_t));
+
+    for (r = 0; r < n_reads; ++r) {
+        gap_opt_t local_opt = *opt;
+        int len = lens[r], n_aln = 0, use_seed = len > seed_len, i;
+        bwt_aln1_t *aln;
+        local_opt.max_diff = max_diffs[r];
+        if (local_opt.max_diff < local_opt.max_gapo)
+            local_opt.max_gapo = local_opt.max_diff;
+        seq[0] = seqs0 + (size_t)r * stride;
+        seq[1] = seqs1 + (size_t)r * stride;
+        memset(w[0], 0, (size_t)(len + 1) * sizeof(bwt_width_t));
+        memset(w[1], 0, (size_t)(len + 1) * sizeof(bwt_width_t));
+        bwt_cal_width(h->bwt[0], len, seq[0], w[0]);
+        bwt_cal_width(h->bwt[1], len, seq[1], w[1]);
+        local_opt.seed_len = seed_len < len ? seed_len : 0x7fffffff;
+        if (use_seed) {
+            memset(seed_w[0], 0,
+                   (size_t)(seed_len + 1) * sizeof(bwt_width_t));
+            memset(seed_w[1], 0,
+                   (size_t)(seed_len + 1) * sizeof(bwt_width_t));
+            bwt_cal_width(h->bwt[0], seed_len, seq[0] + (len - seed_len),
+                          seed_w[0]);
+            bwt_cal_width(h->bwt[1], seed_len, seq[1] + (len - seed_len),
+                          seed_w[1]);
+        }
+        aln = bwt_match_gap(h->bwt, len, seq, w, use_seed ? seed_w : 0,
+                            &local_opt, &n_aln, stack);
+        for (i = 0; i < n_aln; ++i) total += aln[i].l - aln[i].k + 1;
+        if (n_aln_out) n_aln_out[r] = n_aln;
+        free(aln);
+    }
+    free(w[0]);
+    free(w[1]);
+    free(seed_w[0]);
+    free(seed_w[1]);
+    gap_destroy_stack(stack);
+    gap_free_opt(opt);
+    return total;
+}
+
 /* bwa_aln2seq_core + bwa_approx_mapQ differential.  aln_rows: n_aln x 7
  * int32 rows as produced by rb_match_gap.  seed: drand48 seed applied
  * before the call (the sampling stream).  Outputs (int64):
