@@ -74,6 +74,12 @@ DEF_INNER = int(os.environ.get("FQ_BS_INNER", 32))
 # (3.6% of the bench world) for a lot of chip time (2474 -> 4008
 # reads/s measured).  0 = auto (max(768, 3 * padded read len)).
 DEF_STEPCAP = int(os.environ.get("FQ_BS_STEPCAP", 0))
+# chain sub-steps per iteration: the exact-walk chain is ~80% of the
+# per-read work (profile: ~1300 exact_alt steps vs 336 pops/read), and
+# each iteration carries a large fixed per-op ramp cost, so walking
+# several bases per iteration divides the iteration count where it
+# matters.  Extra sub-steps only cost one masked rank query each.
+DEF_CHAIN = int(os.environ.get("FQ_BS_CHAIN", 4))
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -82,14 +88,15 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "NP", "K_INNER", "step_cap", "s_mm", "s_gapo",
-                     "s_gape", "max_gapo", "max_gape", "indel_end_skip",
-                     "max_del_occ", "max_entries", "max_top2", "seed_len",
-                     "max_seed_diff", "n_text", "ablate"))
+    static_argnames=("B", "NP", "K_INNER", "CH_STEPS", "step_cap", "s_mm",
+                     "s_gapo", "s_gape", "max_gapo", "max_gape",
+                     "indel_end_skip", "max_del_occ", "max_entries",
+                     "max_top2", "seed_len", "max_seed_diff", "n_text",
+                     "ablate"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
                    seqs_all, lens_all, md_all, use_seed_all,
-                   B, NP, K_INNER, step_cap, s_mm, s_gapo, s_gape,
-                   max_gapo, max_gape, indel_end_skip, max_del_occ,
+                   B, NP, K_INNER, CH_STEPS, step_cap, s_mm, s_gapo,
+                   s_gape, max_gapo, max_gape, indel_end_skip, max_del_occ,
                    max_entries, max_top2, seed_len, max_seed_diff, n_text,
                    ablate=()):
     """seqs_all: (N, 2, L) int32 (4 = N / pad); lens_all, md_all: (N,);
@@ -262,10 +269,14 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         a0 = (a == 0)[:, None]
         ww_sel = jnp.where(a0, ww0, ww1)
         wb_sel = jnp.where(a0, wb0, wb1)
-        ww_i2 = jnp.where(m_i2, ww_sel, 0).sum(axis=1)
-        wb_i2 = jnp.where(m_i2, wb_sel, 0).sum(axis=1)
-        ww_i2m1 = jnp.where(m_i2m1, ww_sel, 0).sum(axis=1)
-        wb_i2m1 = jnp.where(m_i2m1, wb_sel, 0).sum(axis=1)
+        # both positions x both planes in ONE reduction (each reduce is
+        # a separate fusion launch; the per-op ramp dominates this kernel)
+        w_planes = jnp.stack([ww_sel, wb_sel], axis=1)   # (B, 2, L+1)
+        w_masks = jnp.stack([m_i2, m_i2m1], axis=1)      # (B, 2, L+1)
+        w_red = jnp.where(w_masks[:, None, :, :], w_planes[:, :, None, :],
+                          0).sum(axis=3)                 # (B, 2pl, 2pos)
+        ww_i2, ww_i2m1 = w_red[:, 0, 0], w_red[:, 0, 1]
+        wb_i2, wb_i2m1 = w_red[:, 1, 0], w_red[:, 1, 1]
         alive = alive & ~((i > 0) & (m < wb_i2))
 
         hit_i0 = alive & (i == 0)
@@ -289,18 +300,28 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         L2row = jnp.where((sel == 0)[:, None], L2[0][None, :],
                           L2[1][None, :])  # (B, 4)
 
-        # ---- chain step (bwt_match_exact_alt, one base/iteration) ----
+        # ---- chain step (bwt_match_exact_alt, CH_STEPS bases/iter) ----
         chainish = work_chain | start_chain
         ch_i = jnp.where(work_chain, ch[:, 2], i)
         ci = jnp.clip(ch_i - 1, 0, L - 1)
         lseq_cur = jnp.where((cur_a == 0)[:, None], st["seqs"][:, 0],
                              st["seqs"][:, 1])  # (B, L)
-        cc = oh_get(lseq_cur, ci)
+        lseq_a = jnp.where((a == 0)[:, None], st["seqs"][:, 0],
+                           st["seqs"][:, 1])
+        # chain char + expansion char in ONE fused gather-reduction
+        seq_pair = jnp.stack([lseq_cur, lseq_a], axis=1)    # (B, 2, L)
+        idx_pair = jnp.stack([ci, jnp.clip(i2, 0, L - 1)], axis=1)
+        g_mask = jnp.arange(L)[None, None, :] == idx_pair[:, :, None]
+        g_red = jnp.where(g_mask, seq_pair, 0).sum(axis=2)  # (B, 2)
+        cc, si = g_red[:, 0], g_red[:, 1]
         ccl = jnp.clip(cc, 0, 3)
         sel_c = jnp.arange(4)[None, :] == ccl[:, None]  # (B, 4)
-        L2c = jnp.where(sel_c, L2row, 0).sum(axis=1)
-        nk = L2c + jnp.where(sel_c, cnt_k, 0).sum(axis=1) + 1
-        nl = L2c + jnp.where(sel_c, cnt_l, 0).sum(axis=1)
+        # L2c / occ_k / occ_l through one stacked reduction
+        tri = jnp.stack([L2row, cnt_k, cnt_l], axis=1)  # (B, 3, 4)
+        t_red = jnp.where(sel_c[:, None, :], tri, 0).sum(axis=2)
+        L2c = t_red[:, 0]
+        nk = L2c + t_red[:, 1] + 1
+        nl = L2c + t_red[:, 2]
         ch_dead = chainish & ((cc > 3) | (nk > nl))
         ch_hit = chainish & ~ch_dead & (ch_i - 1 == 0)
         ch_cont = chainish & ~ch_dead & ~ch_hit
@@ -311,6 +332,41 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
              jnp.where(start_chain, n_gape, ch[:, 6]),
              jnp.where(start_chain, ldp, ch[:, 7])], axis=1)
         ch = jnp.where(chainish[:, None], new_ch, ch)
+        # extra chain sub-steps: lanes still walking advance more bases
+        # this iteration (one masked rank query each).  C runs the whole
+        # walk inline within a single pop (bwt.c match_exact_alt), so
+        # multi-stepping preserves C's per-lane order exactly; it only
+        # divides the iteration count of the ~80%-of-work chain phase.
+        for _ in range(CH_STEPS - 1):
+            act = ch_cont
+            s_a = ch[:, 3]
+            s_sel = 1 - s_a
+            if "noocc" in ablate:  # profiling only: results wrong
+                s_cnt_k = (ch[:, 0][:, None] + jnp.arange(4)[None, :]) & 0xFF
+                s_cnt_l = (ch[:, 1][:, None] + jnp.arange(4)[None, :]) & 0xFF
+            else:
+                s_cnt_k, s_cnt_l = occ4_pair(fm, s_sel, ch[:, 0] - 1,
+                                             ch[:, 1])
+            s_L2row = jnp.where((s_sel == 0)[:, None], L2[0][None, :],
+                                L2[1][None, :])
+            s_lseq = jnp.where((s_a == 0)[:, None], st["seqs"][:, 0],
+                               st["seqs"][:, 1])
+            s_cc = oh_get(s_lseq, jnp.clip(ch[:, 2] - 1, 0, L - 1))
+            s_sel_c = (jnp.arange(4)[None, :]
+                       == jnp.clip(s_cc, 0, 3)[:, None])
+            s_tri = jnp.stack([s_L2row, s_cnt_k, s_cnt_l], axis=1)
+            s_red = jnp.where(s_sel_c[:, None, :], s_tri, 0).sum(axis=2)
+            s_nk = s_red[:, 0] + s_red[:, 1] + 1
+            s_nl = s_red[:, 0] + s_red[:, 2]
+            s_dead = act & ((s_cc > 3) | (s_nk > s_nl))
+            s_hit = act & ~s_dead & (ch[:, 2] - 1 == 0)
+            adv = (act & ~s_dead)[:, None]
+            ch = jnp.where(
+                adv, jnp.concatenate(
+                    [s_nk[:, None], s_nl[:, None],
+                     (ch[:, 2] - 1)[:, None], ch[:, 3:]], axis=1), ch)
+            ch_hit = ch_hit | s_hit
+            ch_cont = act & ~s_dead & ~s_hit
         ch_on = ch_cont
 
         # ---- hits ----
@@ -365,10 +421,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         n_aln = st["n_aln"] + (do_add & (st["n_aln"] < A_MAX)).astype(
             jnp.int32)
 
-        # ---- expansion ----
-        lseq_a = jnp.where((a == 0)[:, None], st["seqs"][:, 0],
-                           st["seqs"][:, 1])
-        si = oh_get(lseq_a, jnp.clip(i2, 0, L - 1))
+        # ---- expansion ----  (si gathered with the chain char above)
         if "nowidthg" in ablate:  # profiling only
             zz = jnp.zeros(B, jnp.int32)
             wb_i2m1 = wb_i2 = ww_i2m1 = ww_i2 = zz
@@ -385,11 +438,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             # width planes; avoids a global (N,...) gather per iteration)
             sw_sel = jnp.where((a == 0)[:, None, None], st["sw0"],
                                st["sw1"])  # (B, SL+1, 2)
-            sp_iota = jnp.arange(sw_sel.shape[1])[None, :]
-            m_ii1 = (sp_iota == jnp.clip(ii - 1, 0, seed_len)[:, None])
-            m_ii = (sp_iota == jnp.clip(ii, 0, seed_len)[:, None])
-            sw_iim1 = jnp.where(m_ii1[:, :, None], sw_sel, 0).sum(axis=1)
-            sw_ii = jnp.where(m_ii[:, :, None], sw_sel, 0).sum(axis=1)
+            sp_iota = jnp.arange(sw_sel.shape[1])[None, None, :]
+            sw_idx = jnp.stack([ii - 1, ii], axis=1)  # (B, 2)
+            sw_m = sp_iota == jnp.clip(sw_idx, 0, seed_len)[:, :, None]
+            sw_red = jnp.where(sw_m[:, :, :, None], sw_sel[:, None, :, :],
+                               0).sum(axis=2)  # (B, 2, 2)
+            sw_iim1, sw_ii = sw_red[:, 0], sw_red[:, 1]
         seed_on = st["use_seed"] & (i2 > 0) & (ii > 0)
         allow_diff = allow_diff & ~(seed_on & (sw_iim1[:, 1] > msd - 1))
         allow_m = allow_m & ~(seed_on & (sw_iim1[:, 1] == msd - 1)
@@ -428,8 +482,13 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
                   n_mm, n_gapo + del_open.astype(jnp.int32),
                   n_gape + del_ext.astype(jnp.int32),
                   jnp.full(B, STATE_D, jnp.int32), i2 + 1)
+        # all four mismatch-children intervals in ONE stacked reduction
+        c_all = (si[:, None] + jnp.arange(1, 5)[None, :]) & 3  # (B, 4)
+        selj = c_all[:, :, None] == jnp.arange(4)[None, None, :]
+        mm_kl = jnp.stack([L2row + cnt_k + 1, L2row + cnt_l], axis=1)
+        mm_red = jnp.where(selj[:, None, :, :], mm_kl[:, :, None, :],
+                           0).sum(axis=3)  # (B, 2, 4 children)
         for j in range(1, 5):
-            c = (si + j) & 3
             if j == 4:
                 mask_j = allow_mm | (expand & ~(allow_diff & allow_m)
                                      & (si < 4))
@@ -437,10 +496,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             else:
                 mask_j = allow_mm
                 is_mm_v = jnp.ones(B, bool)
-            sel_j = jnp.arange(4)[None, :] == c[:, None]
-            L2j = jnp.where(sel_j, L2row, 0).sum(axis=1)
-            kj = L2j + jnp.where(sel_j, cnt_k, 0).sum(axis=1) + 1
-            lj = L2j + jnp.where(sel_j, cnt_l, 0).sum(axis=1)
+            kj = mm_red[:, 0, j - 1]
+            lj = mm_red[:, 1, j - 1]
             # no-diff pushes inherit the parent's ldp (slot persistence)
             child(mask_j & (kj <= lj), a, i2, kj, lj,
                   n_mm + (mask_j & is_mm_v).astype(jnp.int32), n_gapo,
@@ -460,47 +517,51 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         valid = valid & ~ovf[:, None]
         total = jnp.where(ovf, 0, total)
 
-        # allocate slots: rank among valid children (1-based)
+        # allocate slots: rank among valid children (1-based); all NCH
+        # freelist reads ride ONE batched one-hot reduction
         rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
         fidx = jnp.clip(free_top[:, None] - rank, 0, NP - 1)
-        slots = jnp.stack(
-            [oh_get(freelist, fidx[:, ci_]) for ci_ in range(NCH)],
-            axis=1)  # (B, NCH)
+        f_hit = jnp.arange(NP)[None, None, :] == fidx[:, :, None]
+        slots = jnp.where(f_hit, freelist[:, None, :], 0).sum(axis=2)
         free_top = free_top - total
         n_entries = n_entries + total
 
         # next pointers: most recent earlier same-bucket child, else the
         # (post-pop) bucket head; heads then point at the last same-bucket
-        # child (LIFO within bucket == C stack order)
-        heads_gather = jnp.stack(
-            [oh_get(heads, jnp.clip(scores[:, ci_], 0, NBUCK - 1))
-             for ci_ in range(NCH)], axis=1)  # (B, NCH)
-        nexts = []
-        for ci_ in range(NCH):
-            nx = heads_gather[:, ci_]
-            for cj in range(ci_):
-                nx = jnp.where(valid[:, cj] & (scores[:, cj] == scores[:, ci_]),
-                               slots[:, cj], nx)
-            nexts.append(nx)
-        nexts = jnp.stack(nexts, axis=1)
-        is_last = valid.copy()
-        for ci_ in range(NCH):
-            later = jnp.zeros(B, bool)
-            for cj in range(ci_ + 1, NCH):
-                later = later | (valid[:, cj]
-                                 & (scores[:, cj] == scores[:, ci_]))
-            is_last = is_last.at[:, ci_].set(valid[:, ci_] & ~later)
+        # child (LIFO within bucket == C stack order).  The all-pairs
+        # same-score adjacency is one (B, NCH, NCH) pass instead of the
+        # previous ~NCH^2 scalar-op chain.
+        sc_clip = jnp.clip(scores, 0, NBUCK - 1)
+        h_hit = iota_buck[:, None, :] == sc_clip[:, :, None]
+        heads_gather = jnp.where(h_hit, heads[:, None, :], 0).sum(axis=2)
+        eq = scores[:, :, None] == scores[:, None, :]  # (B, ci, cj)
+        tri_lo = jnp.tril(jnp.ones((NCH, NCH), bool), -1)[None]
+        prev_cand = valid[:, None, :] & eq & tri_lo  # cj < ci, same score
+        has_prev = prev_cand.any(axis=2)
+        prev_idx = (NCH - 1) - jnp.argmax(prev_cand[:, :, ::-1], axis=2)
+        prev_slot = jnp.take_along_axis(slots, prev_idx, axis=1)
+        nexts = jnp.where(has_prev, prev_slot, heads_gather)
+        tri_hi = jnp.triu(jnp.ones((NCH, NCH), bool), 1)[None]
+        has_later = (valid[:, None, :] & eq & tri_hi).any(axis=2)
+        is_last = valid & ~has_later
 
         rows = jnp.concatenate(
             [jnp.stack(crows, axis=1), nexts[:, :, None]],
             axis=2)  # (B, NCH, NWORD)
         if "nopush" not in ablate:  # ablation is profiling-only
-            for ci_ in range(NCH):
-                pool = oh_set(pool, slots[:, ci_], rows[:, ci_],
-                              valid[:, ci_])
-            for ci_ in range(NCH):
-                heads = oh_set(heads, jnp.clip(scores[:, ci_], 0, NBUCK - 1),
-                               slots[:, ci_], is_last[:, ci_])
+            # fused push: valid children hold distinct slots, so ONE
+            # masked one-hot sum replaces the NCH-deep dependent
+            # read-modify-write chain over the full pool
+            p_hit = ((iota_pool[:, :, None] == slots[:, None, :])
+                     & valid[:, None, :])  # (B, NP, NCH)
+            p_val = jnp.where(p_hit[:, :, :, None], rows[:, None, :, :],
+                              0).sum(axis=2)  # (B, NP, NWORD)
+            pool = jnp.where(p_hit.any(axis=2)[:, :, None], p_val, pool)
+            # same for bucket heads: is_last is unique per score bucket
+            hb_hit = ((iota_buck[:, :, None] == sc_clip[:, None, :])
+                      & is_last[:, None, :])  # (B, NBUCK, NCH)
+            hb_val = jnp.where(hb_hit, slots[:, None, :], 0).sum(axis=2)
+            heads = jnp.where(hb_hit.any(axis=2), hb_val, heads)
 
         # per-lane step cap -> exact fallback (guards pathological reads)
         steps = st["steps"] + (~done).astype(jnp.int32)
@@ -559,7 +620,8 @@ class BatchEngine:
 
     def __init__(self, idx: ReducedIndex, max_batch: int = 32768,
                  lanes: int | None = None, pool: int | None = None,
-                 inner: int | None = None, step_cap: int | None = None):
+                 inner: int | None = None, step_cap: int | None = None,
+                 chain: int | None = None):
         self.idx = idx
         self.dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
         try:
@@ -573,6 +635,7 @@ class BatchEngine:
         self.pool = pool or DEF_POOL
         self.inner = inner or DEF_INNER
         self.step_cap = step_cap if step_cap is not None else DEF_STEPCAP
+        self.chain = chain or DEF_CHAIN
         self.last_iters = 0
         self.last_fallback = 0
         self.last_busy = 0
@@ -639,6 +702,7 @@ class BatchEngine:
             self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
             jnp.asarray(md), jnp.asarray(use_seed),
             B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
+            CH_STEPS=int(self.chain),
             step_cap=int(self.step_cap or max(768, 3 * Lpad)), s_mm=opt.s_mm,
             s_gapo=opt.s_gapo, s_gape=opt.s_gape, max_gapo=int(max_gapo),
             max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,

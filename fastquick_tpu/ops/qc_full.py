@@ -267,6 +267,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         seqs2, lens, md, use_seed,
         B=B, NP=int(opt_args.get("pool", 256)),
         K_INNER=int(opt_args.get("inner", 16)),
+        CH_STEPS=int(opt_args.get("chain", 4)),
         step_cap=int(opt_args.get("step_cap", 64 * L)),
         s_mm=3, s_gapo=11, s_gape=4,
         max_gapo=int(opt_args.get("max_gapo", 1)),
