@@ -69,7 +69,7 @@ def device_kernel_bytes_per_iter(lanes: int, pool: int, read_len: int,
     freelist = 3 * B * pool * 4         # write-back + window + update
     heads = 3 * B * nbuck * 4
     widths = 2 * B * 2 * (read_len + 1) * 2 * 4  # width planes r/w
-    alns = 2 * B * a_max * 7 * 4
+    alns = 2 * B * a_max * 3 * 4        # packed 3-word hit rows
     occ = 2 * 2 * B * (8 + 4) * 4       # 2 rank pairs: words8 + ckpt rows
     seqs = B * 2 * read_len * 4
     return pool_rw + freelist + heads + widths + alns + occ + seqs

@@ -1,174 +1,167 @@
-"""Resident-on-chip QC mode (`align --device_qc`).
+"""Resident-on-chip QC mode (`align --device_qc`) -- product grade.
 
-The SURVEY §5 TPU mapping end-to-end as ONE flag: the k-mer filter
-(HBM-resident bitmaps), the inexact FM search, SE selection/mapQ, SA
-position resolution and the COMPLETE StatCollector accumulator set run
-as a single jitted device program per batch (ops/qc_full.qc_step_full).
-The index arrays, filter bitmaps and site tables are uploaded once and
-stay resident across batches; accumulators are summed on the host in
-int64 and merged into the StatCollector once at the end
-(stats/device_merge), after which the standard writers produce the
-report files.
+Round-2 shipped this flag as a QC-only demo (no BAM, no pairing, no
+insert sizes).  It is now the FULL product pipeline with the three bulk
+phases on the accelerator and the byte-order-sensitive logic on the
+host, so `align --device_qc` emits the BAM plus all 14 statistics files
+BYTE-IDENTICAL to the host pipeline (pinned by tests/test_device_qc.py
+on a 10k-read PE world with repeats and gapped reads):
 
-QC-only mode: no BAM / pairing / insert-size outputs (the reference's
-primary product is the QC summary; the full PE path is `align` without
-the flag).  Reads the device could not finish exactly (pool/step caps)
-or that need the gapped refine path are realigned on the host oracle
-and fed through the normal add_single path, so coverage is complete.
+  device: k-mer filter   (ops/kmer over HBM-resident bitmaps)
+  device: inexact search (ops/batch_search lockstep kernel; exact host
+          fallback for pool/step-cap overflows)
+  host:   drand48 hit draw, PE isize/pairing, mate-rescue SW, gapped
+          refine, SAM/BAM out, pair-status rows + dup table (the
+          reference's own cold path: bwase.c/bwape.c post-processing)
+  device: per-base dense-site + histogram accumulation for the
+          ungapped full-length majority (DeviceDenseStats below): pac
+          positions -> site indices -> depth/Q20/Q30 + empirical
+          quality/cycle (mis)match histograms as one jitted program;
+          commutative integer sums, so device==host exactly.  Marker
+          pileups stay host-side in arrival order (they are
+          order-sensitive strings; reference src/StatCollector.cpp
+          UpdateInfoVecAtMarker:342-363), as do gapped/clipped/trimmed
+          reads (reference's per-CIGAR walk :579-618).
+
+The single-program search+stats step (ops/qc_full.qc_step_full) remains
+the mesh scale-out path (parallel/mesh, __graft_entry__).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..stats.device_merge import populate_from_device
 from ..utils.logging import notice
-from .core import (
-    BWA_TYPE_NO_MATCH,
-    BWA_TYPE_REPEAT,
-    BWA_TYPE_UNIQUE,
-    bwa_aln2seq_core,
-    bwa_approx_mapQ,
-)
-from .opts import bwa_cal_maxdiff
-from .pe import sa_pos
-from .rand import Rand48
-from .seqs import FastqReader, read_batch
 
-BATCH = 2048
+_PAD_B = 4096  # device batch rows (fixed shape -> one compile)
+_PAD_L = 256
 
 
-def _acc_add(total: dict | None, acc: dict) -> dict:
-    out = {} if total is None else total
-    for k, v in acc.items():
-        a = np.asarray(v, dtype=np.int64)
-        out[k] = a if k not in out else out[k] + a
-    return out
+class DeviceDenseStats:
+    """Device backend for StatCollector's dense-site accumulation.
 
+    collector._drain_queue routes every eligible ungapped full-length
+    read here (instead of the numpy vectorized path); flush() runs the
+    jitted accumulation program and adds the integer results into the
+    collector's arrays.  Inputs are reference-oriented codes/quals, so
+    the site/mismatch/cycle math matches AddSingleAlignment's walk
+    (src/StatCollector.cpp:437-618) exactly."""
 
-def run_device_qc(idx, opt, collector, fq_pairs, fsc_factory,
-                  add_fsc) -> None:
-    import jax
-    import jax.numpy as jnp
+    def __init__(self, idx, collector, opt):
+        import jax
+        import jax.numpy as jnp
 
-    from ..ops.fm import DeviceFM
-    from ..ops.qc_full import build_site_tables, qc_step_full
+        from ..ops.qc_full import build_site_tables
 
-    tables = build_site_tables(idx, collector, opt)
-    dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
-    fm_arrays = {"words": dev.words, "occ": dev.occ, "sa": dev.sa,
-                 "L2": dev.L2, "primary": dev.primary}
-    thresh = idx.kmer.thresh
-    bitmaps = (jnp.asarray(idx.kmer.bitmaps_uint32())
-               if thresh > 0 else None)
-    Lpad = 256
-    md_np = np.array(
-        [bwa_cal_maxdiff(i, thres=opt.fnr) if opt.fnr > 0.0
-         else opt.max_diff for i in range(Lpad + 1)], np.int32)
-    md_table = jnp.asarray(md_np)
-    opt_args = {"n_text": dev.n, "max_diff": int(md_np.max()),
-                "use_seed": True, "pool": 1024, "inner": 16,
-                "step_cap": 4096, "max_gapo": opt.max_gapo,
-                "max_gape": opt.max_gape, "max_top2": opt.max_top2,
-                "seed_len": opt.seed_len,
-                "max_seed_diff": opt.max_seed_diff}
+        self._jnp = jnp
+        self.tables = build_site_tables(idx, collector, opt)
+        self.S = self.tables.n_sites
+        self.n_text = idx.l_pac
+        self._pos: list[int] = []
+        self._strand: list[int] = []
+        self._len: list[int] = []
+        self._codes: list[np.ndarray] = []
+        self._quals: list[np.ndarray] = []
+        self.reads_accumulated = 0
 
-    # bitmaps/index arrays enter as ARGUMENTS: closed-over they become
-    # multi-GiB baked-in constants (slow lowering, uncacheable)
-    def step_fn(fma, tab, bm, seqs, rseqs, quals, lens):
-        return qc_step_full(fma, tab, opt_args, seqs, rseqs,
-                            quals, lens, bitmaps=bm, thresh=thresh,
-                            md_table=md_table, return_per_read=True)
+        S = self.S
+        n_text = self.n_text
 
-    jstep = jax.jit(step_fn, static_argnames=())
+        def accum(tab, pos, strand, codes, quals, lens):
+            B, L = codes.shape
+            offs = jnp.arange(L, dtype=jnp.int32)[None, :]
+            cover = offs < lens[:, None]
+            pacp = jnp.where(cover, pos[:, None] + offs, n_text)
+            pacp = jnp.clip(pacp, 0, n_text)
+            site = tab.site_idx[pacp]
+            in_reg = cover & (site >= 0)
+            site_c = jnp.where(in_reg, site, S)
+            fb = tab.text[pacp]
+            codes = codes.astype(jnp.int32)
+            bq = jnp.clip(quals.astype(jnp.int32), 0, 255)
+            mism = in_reg & (codes < 4) & (fb < 4) & (codes != fb)
+            mism = mism & ~jnp.concatenate(
+                [tab.dbsnp, jnp.zeros(1, bool)])[jnp.clip(site_c, 0, S)]
+            cycle = jnp.where((strand == 1)[:, None],
+                              lens[:, None] - 1 - offs, offs)
+            ones = in_reg.astype(jnp.int32).reshape(-1)
+            tier = ((bq >= 20).astype(jnp.int32) + (bq >= 30)).reshape(-1)
+            dense3 = jnp.zeros(3 * (S + 1), jnp.int32).at[
+                site_c.reshape(-1) + tier * (S + 1)].add(ones)
+            bq_f = jnp.where(in_reg, bq, 255).reshape(-1)
+            cy_f = jnp.where(in_reg, jnp.clip(cycle, 0, 255),
+                             255).reshape(-1)
+            m_ones = mism.astype(jnp.int32).reshape(-1)
+            emp_rep = jnp.zeros(256, jnp.int32).at[bq_f].add(ones)
+            emp_cyc = jnp.zeros(256, jnp.int32).at[cy_f].add(ones)
+            mis_rep = jnp.zeros(256, jnp.int32).at[bq_f].add(m_ones)
+            mis_cyc = jnp.zeros(256, jnp.int32).at[cy_f].add(m_ones)
+            return dense3, emp_rep, emp_cyc, mis_rep, mis_cyc
 
-    def step(seqs, rseqs, quals, lens):
-        return jstep(fm_arrays, tables, bitmaps, seqs, rseqs, quals, lens)
-    rng = Rand48()
-    rng.srand48(11)
-    fms = (idx.fm_fwd, idx.fm_rev)
-    acc_total = None
-    host_redo: list = []
+        import jax
 
-    from .engine import HostEngine
+        self._fn = jax.jit(accum)
 
-    try:
-        from .engine import NativeEngine
+    def add(self, p) -> None:
+        """Queue one eligible ungapped full-length read (called from
+        _drain_queue in arrival order; sums are commutative)."""
+        ln = p.len
+        if p.strand == 0:
+            codes = p.seq[:ln].astype(np.uint8)
+            quals = p.qual[:ln].astype(np.uint8) - 33
+        else:
+            c = p.seq[:ln][::-1]
+            codes = np.where(c < 4, 3 - c, 4).astype(np.uint8)
+            quals = p.qual[:ln][::-1].astype(np.uint8) - 33
+        self._pos.append(p.pos)
+        self._strand.append(int(p.strand))
+        self._len.append(ln)
+        self._codes.append(codes)
+        self._quals.append(quals)
+        self.reads_accumulated += 1
 
-        host_eng = NativeEngine(idx)
-    except Exception:
-        host_eng = HostEngine(idx)
+    def flush(self, collector) -> None:
+        if not self._pos:
+            return
+        jnp = self._jnp
+        n = len(self._pos)
+        for lo in range(0, n, _PAD_B):
+            hi = min(lo + _PAD_B, n)
+            m = hi - lo
+            codes = np.full((_PAD_B, _PAD_L), 4, np.uint8)
+            quals = np.zeros((_PAD_B, _PAD_L), np.uint8)
+            pos = np.zeros(_PAD_B, np.int32)
+            strand = np.zeros(_PAD_B, np.int32)
+            lens = np.zeros(_PAD_B, np.int32)
+            for i in range(m):
+                k = lo + i
+                ln = min(self._len[k], _PAD_L)
+                codes[i, :ln] = self._codes[k][:ln]
+                quals[i, :ln] = self._quals[k][:ln]
+                pos[i] = self._pos[k]
+                strand[i] = self._strand[k]
+                lens[i] = ln
+            dense3, emp_rep, emp_cyc, mis_rep, mis_cyc = [
+                np.asarray(x, np.int64) for x in self._fn(
+                    self.tables, jnp.asarray(pos), jnp.asarray(strand),
+                    jnp.asarray(codes), jnp.asarray(quals),
+                    jnp.asarray(lens))]
+            S = self.S
+            c0, c1, c2 = (dense3[:S], dense3[S + 1:2 * S + 1],
+                          dense3[2 * S + 2:][:S])
+            q20 = c1 + c2
+            collector.sites.depth += c0 + q20
+            collector.sites.q20 += q20
+            collector.sites.q30 += c2
+            collector.emp_rep_dist += emp_rep
+            collector.emp_cycle_dist += emp_cyc
+            collector.mis_emp_rep_dist += mis_rep
+            collector.mis_emp_cycle_dist += mis_cyc
+        self._pos.clear()
+        self._strand.clear()
+        self._len.clear()
+        self._codes.clear()
+        self._quals.clear()
 
-    for fq1, fq2 in fq_pairs:
-        fsc = fsc_factory(fq1, fq2 or fq1)
-        for path in ([fq1, fq2] if fq2 else [fq1]):
-            reader = FastqReader(path)
-            rno = 0
-            while True:
-                # unfiltered read-in: the k-mer gate runs on-chip
-                batch = read_batch(reader, None, BATCH, opt.mode,
-                                   opt.trim_qual, opt.frac, rno)
-                rno += 1
-                if not batch:
-                    break
-                B = len(batch)
-                Bpad = BATCH
-                seqs = np.full((Bpad, Lpad), 4, np.int32)
-                rseqs = np.full((Bpad, Lpad), 4, np.int32)
-                quals = np.zeros((Bpad, Lpad), np.int32)
-                lens = np.zeros(Bpad, np.int32)
-                for i, p in enumerate(batch):
-                    ln = min(p.len, Lpad)
-                    seqs[i, :ln] = p.seq[:ln]
-                    rseqs[i, :ln] = p.rseq[:ln]
-                    quals[i, :ln] = p.qual[:ln].astype(np.int32) - 33
-                    lens[i] = ln
-                    fsc.num_base += p.full_len
-                acc, per_read = step(jnp.asarray(seqs), jnp.asarray(rseqs),
-                                     jnp.asarray(quals), jnp.asarray(lens))
-                acc = {k: np.asarray(v) for k, v in acc.items()}
-                redo = np.asarray(per_read["host_redo"])[:B]
-                kept = np.asarray(per_read["kept"])[:B]
-                mapped = np.asarray(per_read["mapped"])[:B]
-                acc_total = _acc_add(acc_total, acc)
-                fsc.num_read += B
-                fsc.total_filtered += int((~kept).sum())
-                fsc.bwa_unmapped += int((kept & ~mapped & ~redo).sum())
-                fsc.total_retained += int(mapped.sum())
-                for i in np.nonzero(redo)[0]:
-                    host_redo.append(batch[i])
-            reader.close()
-        add_fsc(fsc)
-        notice("%d sequences loaded, %d filtered, %d unmapped, "
-               "%d retained (device QC)", fsc.num_read,
-               fsc.total_filtered, fsc.bwa_unmapped, fsc.total_retained)
-
-    if acc_total is not None:
-        populate_from_device(collector, acc_total)
-        notice("Device accumulators merged: %d eligible reads, %d bases "
-               "at sites, %d sent to host redo",
-               int(acc_total["n_eligible"]), int(acc_total["n_base_mapped"]),
-               len(host_redo))
-
-    if host_redo:
-        # exact host path for pool/step-cap overflows and gapped hits
-        host_eng.align_batch(host_redo, opt)
-        for p in host_redo:
-            if p.filtered:
-                continue
-            bwa_aln2seq_core(p.aln, p, True, 0, rng)
-            if p.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
-                p.pos = sa_pos(fms, p.strand, p.sa, p.len)
-                md = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
-                      if opt.fnr > 0.0 else opt.max_diff)
-                p.seQ = p.mapQ = bwa_approx_mapQ(p, md)
-        from .driver import PairEndMapper
-
-        shim = PairEndMapper.__new__(PairEndMapper)
-        shim.idx, shim.opt, shim.collector = idx, opt, collector
-        shim._refine_gapped(host_redo)
-        for p in host_redo:
-            if p.filtered or p.type == BWA_TYPE_NO_MATCH:
-                continue
-            collector.add_single_alignment(idx, p, opt)
-        collector.flush_dense()
+    def report(self) -> None:
+        notice("Device dense accumulation: %d reads", self.reads_accumulated)

@@ -525,11 +525,12 @@ def run_align(argv: list[str]) -> int:
     pl.add("sam_out", False, "Output SAM instead of BAM")
     pl.add("device_filter", False, "run the k-mer read filter on the "
            "accelerator (HBM-resident bitmaps) instead of the CPU")
-    pl.add("device_qc", False, "resident-on-chip QC mode: k-mer filter + "
-           "inexact search + the complete stat accumulators as ONE device "
-           "program per batch (index/bitmaps/site tables uploaded once); "
-           "QC-only -- no BAM/pairing; overflow+gapped reads realigned "
-           "on the host")
+    pl.add("device_qc", False, "resident-on-chip QC mode: the k-mer "
+           "filter, the inexact search and the dense per-base statistics "
+           "run as device programs (index/bitmaps/site tables uploaded "
+           "once); pairing/rescue/refine and all writers stay host-side, "
+           "so the BAM and all 14 output files are byte-identical to the "
+           "host pipeline")
     pl.add("out_prefix", "Empty", "Prefix of all the output files")
     pl.add("index_prefix", "Empty", "Input prefix of the index files")
     pl.group("Parameters for Alignment")
@@ -650,23 +651,22 @@ def run_align(argv: list[str]) -> int:
     else:
         error("One of --fq_list / --fastq_1 is required")
 
-    if pl["device_qc"]:
-        from .device_qc import run_device_qc
+    device_qc = pl["device_qc"]
+    if device_qc:
+        # product-grade resident mode: device k-mer filter + device
+        # search engine + device dense-stat accumulation; pairing /
+        # rescue / refine / pileup strings / output writers stay on the
+        # host, so every product file is byte-identical to the host
+        # pipeline (tests/test_device_qc.py)
+        from .device_qc import DeviceDenseStats
 
         notice("Resident-on-chip QC mode (device filter+search+stats)")
-        run_device_qc(idx, opt, collector, fq_pairs_early,
-                      lambda f1, f2: FileStat(file_name1=f1, file_name2=f2),
-                      collector.add_fsc)
-        # QC-only mode has no pairing: the isize solve reads an empty table
-        open(prefix + ".InsertSizeTable", "w").close()
-        t_tmp = realtime()
-        collector.process_core(prefix, opt)
-        notice("Calculate distributions... %f sec", realtime() - t_tmp)
-        notice("Real time: %.3f sec", realtime() - t_real)
-        return 0
+        collector.dense_device = DeviceDenseStats(idx, collector, opt)
 
     engine_kind = pl["engine"]
-    if engine_kind == "auto":
+    if device_qc:
+        engine_kind = "tpu"
+    elif engine_kind == "auto":
         from ..native import get_aligner_lib
 
         engine_kind = "native" if get_aligner_lib() is not None else "host"
@@ -688,20 +688,21 @@ def run_align(argv: list[str]) -> int:
 
     fq_pairs = fq_pairs_early
 
+    use_dev_filter = pl["device_filter"] or device_qc
     for fq1, fq2 in fq_pairs:
         if fq2:
             notice("Processing Pair End mapping\t%s\t%s", fq1, fq2)
             fsc = FileStat(file_name1=fq1, file_name2=fq2)
             mapper = PairEndMapper(idx, engine, opt, popt, collector, sam,
                                    isize_out,
-                                   device_filter=pl["device_filter"])
+                                   device_filter=use_dev_filter)
             mapper.run(fq1, fq2, fsc)
         else:
             notice("Processing Single End mapping\t%s", fq1)
             fsc = FileStat(file_name1=fq1, file_name2=fq1)
             mapper = SingleEndMapper(idx, engine, opt, popt, collector, sam,
                                      isize_out,
-                                     device_filter=pl["device_filter"])
+                                     device_filter=use_dev_filter)
             mapper.run(fq1, "", fsc)
         collector.add_fsc(fsc)
         mapper.report_stages()

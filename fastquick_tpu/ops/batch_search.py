@@ -94,16 +94,21 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
                      "max_top2", "seed_len", "max_seed_diff", "n_text",
                      "ablate"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
-                   seqs_all, lens_all, md_all, use_seed_all,
+                   seqs_rev, lens_all, md_all, use_seed_all,
                    B, NP, K_INNER, CH_STEPS, step_cap, s_mm, s_gapo,
                    s_gape, max_gapo, max_gape, indel_end_skip, max_del_occ,
                    max_entries, max_top2, seed_len, max_seed_diff, n_text,
                    ablate=()):
-    """seqs_all: (N, 2, L) int32 (4 = N / pad); lens_all, md_all: (N,);
-    md_all < 0 marks padding rows.  Returns per-read
-    (n_aln, alns, fallback, n_outer_rounds)."""
+    """seqs_rev: (N, L) reversed read codes, any int dtype (4 = N / pad;
+    int8 keeps the host->device transfer small -- the revcomp plane is a
+    pure elementwise complement, derived here); lens_all, md_all: (N,);
+    md_all < 0 marks padding rows.  Returns per-read (n_aln, packed
+    alns (N, A_MAX, 3) [mm|go<<6|ge<<12|a<<18|score<<19, k, l],
+    fallback, n_outer_rounds, busy)."""
     fm = DeviceFM(words=words, occ=occ_ckpt, sa=sa, L2=L2, primary=primary,
                   n=n_text)
+    s0 = seqs_rev.astype(jnp.int32)
+    seqs_all = jnp.stack([s0, jnp.where(s0 < 4, 3 - s0, s0)], axis=1)
     N, _, L = seqs_all.shape
     binds = jnp.arange(B)
     n = jnp.int32(n_text)
@@ -154,9 +159,10 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     n_n_all = ((seqs_all[:, 0, :] > 3)
                & (jnp.arange(L)[None, :] < lens_all[:, None])).sum(axis=1)
 
-    # per-read outputs
+    # per-read outputs; hit rows are packed 3 int32 words (the device->
+    # host result copy rides the same narrow link as the inputs)
     out_n = jnp.zeros(N + 1, jnp.int32)
-    out_alns = jnp.zeros((N + 1, A_MAX, 7), jnp.int32)
+    out_alns = jnp.zeros((N + 1, A_MAX, 3), jnp.int32)
     out_fb = jnp.zeros(N + 1, bool)
 
     iota_np = jnp.arange(NP - 1, -1, -1, dtype=jnp.int32)
@@ -190,7 +196,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             + (max_gape + 1) * s_gape,
             best_cnt=jnp.zeros_like(lens),
             n_aln=jnp.zeros_like(lens),
-            alns=jnp.zeros((read_ids.shape[0], A_MAX, 7), jnp.int32),
+            alns=jnp.zeros((read_ids.shape[0], A_MAX, 3), jnp.int32),
             # width state as four (B, L+1) planes (minor axis = position)
             # -- the packed (B,2,L+1,2) form lowered to 2-lane tiles and
             # cost ~77us/iter across reads+the gap_shadow update
@@ -389,8 +395,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         done = done | top2b
         hit = hit & ~top2b
         slots_used = jnp.arange(A_MAX)[None, :] < st["n_aln"][:, None]
-        dup = ((st["alns"][:, :, 4] == hk[:, None])
-               & (st["alns"][:, :, 5] == hl[:, None]) & slots_used).any(axis=1)
+        dup = ((st["alns"][:, :, 1] == hk[:, None])
+               & (st["alns"][:, :, 2] == hl[:, None]) & slots_used).any(axis=1)
         do_add = hit & ~((hgo > 0) & dup)
         # gap_shadow on the hit strand's width arrays (bwtgap.c:81-91)
         x = hl - hk + 1
@@ -413,7 +419,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         wb0 = jnp.where(upd0, wb_new, wb0)
         ww1 = jnp.where(upd1, ww_new, ww1)
         wb1 = jnp.where(upd1, wb_new, wb1)
-        arow = jnp.stack([hmm, hgo, hge, ha, hk, hl, score], axis=1)
+        arow = jnp.stack(
+            [hmm | (hgo << 6) | (hge << 12) | (ha << 18) | (score << 19),
+             hk, hl], axis=1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
         overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))
         alns = oh_set(st["alns"], aslot, arow,
@@ -682,13 +690,15 @@ class BatchEngine:
         Lpad = 32
         while Lpad < Lmax:
             Lpad *= 2
-        seqs = np.full((Npad, 2, Lpad), 4, dtype=np.int32)
+        # int8 reversed codes only: the revcomp plane is derived on
+        # device (elementwise complement), so the H2D copy is 1 byte per
+        # padded base instead of 8
+        seqs = np.full((Npad, Lpad), 4, dtype=np.int8)
         lens = np.zeros(Npad, dtype=np.int32)
         md = np.full(Npad, -1, dtype=np.int32)  # -1 marks padding
         use_seed = np.zeros(Npad, dtype=bool)
         for b, p in enumerate(todo):
-            seqs[b, 0, : p.len] = p.seq[: p.len]
-            seqs[b, 1, : p.len] = p.rseq[: p.len]
+            seqs[b, : p.len] = p.seq[: p.len]
             lens[b] = p.len
             md[b] = (bwa_cal_maxdiff(p.len, thres=opt.fnr)
                      if opt.fnr > 0.0 else opt.max_diff)
@@ -724,8 +734,9 @@ class BatchEngine:
             if fallback[b]:
                 fb_reads.append(p)
                 continue
-            p.aln = [Aln(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
-                         int(r[4]), int(r[5]), int(r[6]))
+            p.aln = [Aln(int(r[0]) & 63, (int(r[0]) >> 6) & 63,
+                         (int(r[0]) >> 12) & 63, (int(r[0]) >> 18) & 1,
+                         int(r[1]), int(r[2]), (int(r[0]) >> 19) & 127)
                      for r in alns[b, : n_aln[b]]]
             p.n_aln = len(p.aln)
         if fb_reads:

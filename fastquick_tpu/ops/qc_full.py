@@ -192,22 +192,24 @@ def ragged_unreverse(arr: jax.Array, lens: jax.Array,
 
 
 def se_select(n_aln, alns):
-    """Deterministic SE selection from the kernel's ordered hit list:
-    best class widths -> (mapped, strand, row, c1, c2, n_mm, n_gapo,
-    n_gape).  c1/c2 match bwa_aln2seq_core; the within-class pick is the
-    first best hit at interval offset 0 (the oracle draws by drand48)."""
+    """Deterministic SE selection from the kernel's ordered hit list
+    (packed rows [mm|go<<6|ge<<12|a<<18|score<<19, k, l]): best class
+    widths -> (mapped, strand, row, c1, c2, n_mm, n_gapo, n_gape).
+    c1/c2 match bwa_aln2seq_core; the within-class pick is the first
+    best hit at interval offset 0 (the oracle draws by drand48)."""
     B = n_aln.shape[0]
     used = jnp.arange(A_MAX)[None, :] < n_aln[:, None]  # (B, A_MAX)
-    score = alns[:, :, 6]
-    width = jnp.where(used, alns[:, :, 5] - alns[:, :, 4] + 1, 0)
+    score = (alns[:, :, 0] >> 19) & 127
+    width = jnp.where(used, alns[:, :, 2] - alns[:, :, 1] + 1, 0)
     best = jnp.where(n_aln > 0, score[:, 0], -1)
     in_best = used & (score == best[:, None])
     c1 = jnp.where(in_best, width, 0).sum(axis=1)
     c2 = jnp.where(used & ~in_best, width, 0).sum(axis=1)
     mapped = n_aln > 0
     first = alns[:, 0]  # hits are recorded best-score-first
-    return (mapped, first[:, 3], first[:, 4], c1, c2,
-            first[:, 0], first[:, 1], first[:, 2])
+    return (mapped, (first[:, 0] >> 18) & 1, first[:, 1], c1, c2,
+            first[:, 0] & 63, (first[:, 0] >> 6) & 63,
+            (first[:, 0] >> 12) & 63)
 
 
 def _pileup_ranks(mk_flat: jax.Array, valid: jax.Array):
@@ -253,7 +255,6 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
     else:
         kept = jnp.ones(B, bool)
 
-    seqs2 = jnp.stack([seqs, rseqs], axis=1).astype(jnp.int32)
     if md_table is not None:  # per-read maxdiff (bwa_cal_maxdiff by len)
         md_of_len = md_table[jnp.clip(lens, 0, md_table.shape[0] - 1)]
     else:
@@ -264,7 +265,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
     n_aln, alns, fallback, _rounds, _busy = _search_kernel(
         fm_arrays["words"], fm_arrays["occ"], fm_arrays["sa"],
         fm_arrays["L2"], fm_arrays["primary"],
-        seqs2, lens, md, use_seed,
+        seqs, lens, md, use_seed,
         B=B, NP=int(opt_args.get("pool", 256)),
         K_INNER=int(opt_args.get("inner", 16)),
         CH_STEPS=int(opt_args.get("chain", 4)),

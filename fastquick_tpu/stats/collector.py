@@ -396,6 +396,9 @@ class StatCollector:
                 minlength=len(self.mis_emp_cycle_dist))
             self._pend_mis_bq.clear()
             self._pend_mis_cycles.clear()
+        dev = getattr(self, "dense_device", None)
+        if dev is not None:
+            dev.flush(self)
 
     def add_single_alignment(self, idx: ReducedIndex, p, opt: GapOpt) -> bool:
         """AddSingleAlignment (:424-621) eligibility gate.  The per-base
@@ -476,15 +479,24 @@ class StatCollector:
         self._queue = []
         n = len(q)
         simple = np.zeros(n, dtype=bool)
+        dev_take = np.zeros(n, dtype=bool)
+        dev = getattr(self, "dense_device", None)
         site0 = np.empty(n, dtype=np.int64)
         rlen = np.empty(n, dtype=np.int64)
         groups: dict[str, list[int]] = {}
         for i, (p, chrom, site) in enumerate(q):
             site0[i] = site
             rlen[i] = p.len
-            if (p.cigar is None and p.len == p.full_len
-                    and p.md.isdigit()):
-                simple[i] = True
+            if p.cigar is None and p.len == p.full_len:
+                if p.md.isdigit():
+                    simple[i] = True
+                # device dense backend handles every ungapped untrimmed
+                # read (mismatches included: the device text-vs-read
+                # compare equals the MD-recovered reference for these);
+                # marker pileup strings stay host-side in arrival order
+                if dev is not None:
+                    dev_take[i] = True
+                    simple[i] = False
             groups.setdefault(chrom, []).append(i)
 
         sites = self.sites
@@ -516,12 +528,14 @@ class StatCollector:
 
         # in-order pass: marker pileups + the non-simple remainder
         for i, (p, chrom, site) in enumerate(q):
-            if simple[i]:
+            if simple[i] or dev_take[i]:
                 if marker_hit[i]:
                     seq_np, qual = _materialize(p)
                     tmp_cycle = p.full_len - 1 if p.strand else 0
                     self._update_marker(tmp_cycle, site, p.len, p.strand,
                                         chrom, seq_np, qual, p.mapQ, 0)
+                if dev_take[i]:
+                    dev.add(p)
             else:
                 self._apply_single(p, chrom, site)
 
