@@ -50,16 +50,18 @@ STATE_M, STATE_I, STATE_D = 0, 1, 2
 
 A_MAX = 48  # max recorded hits per read
 NBUCK = 128  # score buckets (init best_score + s_mm + s_gapo < 128 always)
-# pool entry = 5 int32 words: k, l, ai (state<<21 | a<<20 | i), diff
-# (mm | go<<6 | ge<<12 | ldp<<18; mm/go/ge <= max_diff+1 <= 63, ldp is a
-# read position <= MAX_READ_LEN: the unpack `d >> 18` is an arithmetic
-# shift on int32, so ldp >= 8192 would set the sign bit when packed and
-# sign-extend on unpack -- longer reads are routed to the exact host
-# engine in _run_chunk).  8 -> 5 words cut the dominant HBM traffic
-# (the per-iteration full-pool one-hot read+write) by 37%.
-F_K, F_L, F_AI, F_DIFF, F_NEXT = range(5)
-NWORD = 5
-MAX_READ_LEN = 8191  # ldp pack bound (see pool-entry comment above)
+# pool entry = 4 int32 PLANES of shape (B, NP): k, l, ai, diff.
+# TPU vregs are (8 sublanes, 128 lanes); an interleaved (B, NP, NWORD)
+# layout puts the 4-5-word axis minor and tiles every pool op at <4%
+# lane utilization -- separate (B, NP) planes keep the pool axis minor
+# and fully populated.  Field packing:
+#   ai   = i | a<<13 | state<<14 | next<<16   (i <= MAX_READ_LEN fits
+#          13 bits; next stores NP as the null link)
+#   diff = mm | go<<6 | ge<<12 | ldp<<18      (mm/go/ge <= 63; ldp is a
+#          read position <= MAX_READ_LEN -- the unpack `d >> 18` is an
+#          arithmetic shift on int32, so ldp >= 8192 would sign-extend;
+#          longer reads are routed to the exact host engine)
+MAX_READ_LEN = 8191
 
 # tunables (static; env-overridable for on-chip experiments)
 DEF_LANES = int(os.environ.get("FQ_BS_LANES", 1024))
@@ -110,7 +112,6 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     s0 = seqs_rev.astype(jnp.int32)
     seqs_all = jnp.stack([s0, jnp.where(s0 < 4, 3 - s0, s0)], axis=1)
     N, _, L = seqs_all.shape
-    binds = jnp.arange(B)
     n = jnp.int32(n_text)
 
     # One-hot masked writes instead of XLA scatter: on TPU a 9-row/lane
@@ -118,7 +119,6 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     # select runs at VPU/bandwidth speed (90us; see PARITY.md profile).
     iota_pool = jnp.arange(NP)[None, :]
     iota_buck = jnp.arange(NBUCK)[None, :]
-    iota_amax = jnp.arange(A_MAX)[None, :]
 
     def oh_get(arr, col):
         """Per-lane arr[b, col[b]] as a fused one-hot reduction (avoids
@@ -170,33 +170,37 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     def fresh_lane_state(read_ids):
         """State for lanes starting reads read_ids (may be >= N: idle)."""
         r = jnp.clip(read_ids, 0, N - 1)
+        B_ = read_ids.shape[0]
         valid = (read_ids < N) & (md_all[r] >= 0)
         lens = jnp.where(valid, lens_all[r], 0)
         md = jnp.where(valid, md_all[r], 0)
         dead = ~valid | (n_n_all[r] > md)
-        # slot 0 = (a=0, i=len), slot 1 = (a=1, i=len); head -> slot 1
-        e0 = jnp.stack([jnp.zeros_like(lens), jnp.full_like(lens, n),
-                        lens, jnp.zeros_like(lens),
-                        jnp.full_like(lens, -1)], axis=1)
-        e1 = e0.at[:, F_AI].set((1 << 20) | lens).at[:, F_NEXT].set(0)
-        pool = jnp.zeros((read_ids.shape[0], NP, NWORD), jnp.int32)
-        pool = pool.at[:, 0].set(e0).at[:, 1].set(e1)
-        heads = jnp.full((read_ids.shape[0], NBUCK), -1, jnp.int32)
+        # slot 0 = (a=0, i=len, next=null), slot 1 = (a=1, i=len,
+        # next=slot 0); head -> slot 1
+        z = jnp.zeros((B_, NP), jnp.int32)
+        pk = z
+        pl = z.at[:, 0].set(n).at[:, 1].set(n)
+        pai = z.at[:, 0].set(lens | (NP << 16)).at[:, 1].set(
+            lens | (1 << 13))
+        pdiff = z
+        heads = jnp.full((B_, NBUCK), -1, jnp.int32)
         heads = heads.at[:, 0].set(jnp.where(dead, -1, 1))
         return dict(
             read_idx=jnp.where(valid, read_ids, -1),
             seqs=seqs_all[r],  # (B, 2, L) lane-local copy
             lens=lens, md0=md, max_diff=md,
             use_seed=jnp.where(valid, use_seed_all[r], False),
-            pool=pool, heads=heads,
-            freelist=jnp.broadcast_to(iota_np, (read_ids.shape[0], NP)),
+            pk=pk, pl=pl, pai=pai, pdiff=pdiff, heads=heads,
+            freelist=jnp.broadcast_to(iota_np, (B_, NP)),
             free_top=jnp.full_like(lens, NP - 2),
             n_entries=jnp.where(dead, 0, 2),
             best_score=(md + 1) * s_mm + (max_gapo + 1) * s_gapo
             + (max_gape + 1) * s_gape,
             best_cnt=jnp.zeros_like(lens),
             n_aln=jnp.zeros_like(lens),
-            alns=jnp.zeros((read_ids.shape[0], A_MAX, 3), jnp.int32),
+            al0=jnp.zeros((B_, A_MAX), jnp.int32),
+            al1=jnp.zeros((B_, A_MAX), jnp.int32),
+            al2=jnp.zeros((B_, A_MAX), jnp.int32),
             # width state as four (B, L+1) planes (minor axis = position)
             # -- the packed (B,2,L+1,2) form lowered to 2-lane tiles and
             # cost ~77us/iter across reads+the gap_shadow update
@@ -209,8 +213,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             steps=jnp.zeros_like(lens))
 
     LANE_KEYS = ("read_idx", "seqs", "lens", "md0", "max_diff", "use_seed",
-                 "pool", "heads", "freelist", "free_top", "n_entries",
-                 "best_score", "best_cnt", "n_aln", "alns",
+                 "pk", "pl", "pai", "pdiff", "heads", "freelist",
+                 "free_top", "n_entries",
+                 "best_score", "best_cnt", "n_aln", "al0", "al1", "al2",
                  "ww0", "wb0", "ww1", "wb1", "sw0", "sw1", "ch_on", "ch",
                  "done", "overflow", "steps")
 
@@ -218,7 +223,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         read_idx = st["read_idx"]
         rclip = jnp.clip(read_idx, 0, N - 1)
         done = st["done"]
-        heads, pool = st["heads"], st["pool"]
+        heads = st["heads"]
+        pk, pl = st["pk"], st["pl"]
+        pai, pdiff = st["pai"], st["pdiff"]
         freelist, free_top = st["freelist"], st["free_top"]
         n_entries = st["n_entries"]
         ch_on, ch = st["ch_on"], st["ch"]
@@ -240,22 +247,29 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         bucket = jnp.argmax(hvalid, axis=1).astype(jnp.int32)
         slot = oh_get(heads, jnp.clip(bucket, 0, NBUCK - 1))
         slot_c = jnp.clip(slot, 0, NP - 1)
-        if "nopop" in ablate:  # profiling only
-            e = pool[:, 0] + slot_c[:, None]
+        if "nopop" in ablate:  # profiling only: results wrong
+            k = jnp.zeros(B, jnp.int32)
+            l = jnp.full(B, n)
+            ai_w = lens | (NP << 16)
+            d = jnp.zeros(B, jnp.int32)
         else:
-            e = pool[binds, slot_c]  # (B, NWORD)
-        heads = oh_set(heads, jnp.clip(bucket, 0, NBUCK - 1), e[:, F_NEXT],
+            sel_slot = iota_pool == slot_c[:, None]  # (B, NP)
+            k = jnp.where(sel_slot, pk, 0).sum(axis=1)
+            l = jnp.where(sel_slot, pl, 0).sum(axis=1)
+            ai_w = jnp.where(sel_slot, pai, 0).sum(axis=1)
+            d = jnp.where(sel_slot, pdiff, 0).sum(axis=1)
+        nxt_f = (ai_w >> 16) & 0x7FFF
+        nxt = jnp.where(nxt_f == NP, -1, nxt_f)
+        heads = oh_set(heads, jnp.clip(bucket, 0, NBUCK - 1), nxt,
                        can_pop)
         freelist = oh_set(freelist, jnp.clip(free_top, 0, NP - 1), slot_c,
                           can_pop)
         free_top = free_top + can_pop.astype(jnp.int32)
         n_entries = n_entries - can_pop.astype(jnp.int32)
 
-        k, l = e[:, F_K], e[:, F_L]
-        a = (e[:, F_AI] >> 20) & 1
-        i = e[:, F_AI] & 0xFFFF
-        state = e[:, F_AI] >> 21
-        d = e[:, F_DIFF]
+        a = (ai_w >> 13) & 1
+        i = ai_w & 0x1FFF
+        state = (ai_w >> 14) & 3
         n_mm, n_gapo, n_gape = d & 63, (d >> 6) & 63, (d >> 12) & 63
         ldp = d >> 18
         e_score = bucket
@@ -395,8 +409,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         done = done | top2b
         hit = hit & ~top2b
         slots_used = jnp.arange(A_MAX)[None, :] < st["n_aln"][:, None]
-        dup = ((st["alns"][:, :, 1] == hk[:, None])
-               & (st["alns"][:, :, 2] == hl[:, None]) & slots_used).any(axis=1)
+        dup = ((st["al1"] == hk[:, None])
+               & (st["al2"] == hl[:, None]) & slots_used).any(axis=1)
         do_add = hit & ~((hgo > 0) & dup)
         # gap_shadow on the hit strand's width arrays (bwtgap.c:81-91)
         x = hl - hk + 1
@@ -419,15 +433,15 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         wb0 = jnp.where(upd0, wb_new, wb0)
         ww1 = jnp.where(upd1, ww_new, ww1)
         wb1 = jnp.where(upd1, wb_new, wb1)
-        arow = jnp.stack(
-            [hmm | (hgo << 6) | (hge << 12) | (ha << 18) | (score << 19),
-             hk, hl], axis=1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
+        add_m = do_add & (st["n_aln"] < A_MAX)
         overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))
-        alns = oh_set(st["alns"], aslot, arow,
-                      do_add & (st["n_aln"] < A_MAX))
-        n_aln = st["n_aln"] + (do_add & (st["n_aln"] < A_MAX)).astype(
-            jnp.int32)
+        al0 = oh_set(st["al0"],
+                     aslot, hmm | (hgo << 6) | (hge << 12) | (ha << 18)
+                     | (score << 19), add_m)
+        al1 = oh_set(st["al1"], aslot, hk, add_m)
+        al2 = oh_set(st["al2"], aslot, hl, add_m)
+        n_aln = st["n_aln"] + add_m.astype(jnp.int32)
 
         # ---- expansion ----  (si gathered with the chain char above)
         if "nowidthg" in ablate:  # profiling only
@@ -469,15 +483,18 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         allow_mm = expand & allow_diff & allow_m
 
         # children in C push order: ins, del j=0..3, mm j=1..4
-        cvalid, cscore, crows = [], [], []
+        # (per-WORD lists -> (B, NCH) stacks: keeps every push plane's
+        # minor axis at NP, never at the word count)
+        cvalid, cscore, c_k, c_l, c_ai, c_diff = [], [], [], [], [], []
 
-        def child(mask, pa, pi, pk, pl, pmm, pgo, pge, pst, pldp):
+        def child(mask, pa, pi, pk_, pl_, pmm, pgo, pge, pst, pldp):
             sc = _aln_score(pmm, pgo, pge, s_mm, s_gapo, s_gape)
             cvalid.append(mask)
             cscore.append(sc)
-            crows.append(jnp.stack(
-                [pk, pl, (pst << 21) | (pa << 20) | pi,
-                 pmm | (pgo << 6) | (pge << 12) | (pldp << 18)], axis=1))
+            c_k.append(pk_)
+            c_l.append(pl_)
+            c_ai.append((pst << 14) | (pa << 13) | pi)
+            c_diff.append(pmm | (pgo << 6) | (pge << 12) | (pldp << 18))
 
         child(ins_open | ins_ext, a, i2, k, l, n_mm,
               n_gapo + ins_open.astype(jnp.int32),
@@ -553,23 +570,34 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         has_later = (valid[:, None, :] & eq & tri_hi).any(axis=2)
         is_last = valid & ~has_later
 
-        rows = jnp.concatenate(
-            [jnp.stack(crows, axis=1), nexts[:, :, None]],
-            axis=2)  # (B, NCH, NWORD)
+        # ai word carries the next link (null = NP)
+        next_f = jnp.where(nexts < 0, NP, nexts)
+        cai_w = jnp.stack(c_ai, axis=1) | (next_f << 16)  # (B, NCH)
+        ck_w = jnp.stack(c_k, axis=1)
+        cl_w = jnp.stack(c_l, axis=1)
+        cdiff_w = jnp.stack(c_diff, axis=1)
         if "nopush" not in ablate:  # ablation is profiling-only
             # fused push: valid children hold distinct slots, so ONE
-            # masked one-hot sum replaces the NCH-deep dependent
-            # read-modify-write chain over the full pool
-            p_hit = ((iota_pool[:, :, None] == slots[:, None, :])
-                     & valid[:, None, :])  # (B, NP, NCH)
-            p_val = jnp.where(p_hit[:, :, :, None], rows[:, None, :, :],
-                              0).sum(axis=2)  # (B, NP, NWORD)
-            pool = jnp.where(p_hit.any(axis=2)[:, :, None], p_val, pool)
+            # masked one-hot sum per plane replaces the NCH-deep
+            # dependent read-modify-write chain; (B, NCH, NP) keeps the
+            # pool axis minor (full vreg lanes)
+            p_hit = ((iota_pool[:, None, :] == slots[:, :, None])
+                     & valid[:, :, None])  # (B, NCH, NP)
+            p_any = p_hit.any(axis=1)  # (B, NP)
+
+            def plane_push(plane, cw):
+                val = jnp.where(p_hit, cw[:, :, None], 0).sum(axis=1)
+                return jnp.where(p_any, val, plane)
+
+            pk = plane_push(pk, ck_w)
+            pl = plane_push(pl, cl_w)
+            pai = plane_push(pai, cai_w)
+            pdiff = plane_push(pdiff, cdiff_w)
             # same for bucket heads: is_last is unique per score bucket
-            hb_hit = ((iota_buck[:, :, None] == sc_clip[:, None, :])
-                      & is_last[:, None, :])  # (B, NBUCK, NCH)
-            hb_val = jnp.where(hb_hit, slots[:, None, :], 0).sum(axis=2)
-            heads = jnp.where(hb_hit.any(axis=2), hb_val, heads)
+            hb_hit = ((iota_buck[:, None, :] == sc_clip[:, :, None])
+                      & is_last[:, :, None])  # (B, NCH, NBUCK)
+            hb_val = jnp.where(hb_hit, slots[:, :, None], 0).sum(axis=1)
+            heads = jnp.where(hb_hit.any(axis=1), hb_val, heads)
 
         # per-lane step cap -> exact fallback (guards pathological reads)
         steps = st["steps"] + (~done).astype(jnp.int32)
@@ -579,10 +607,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
 
         return dict(read_idx=read_idx, seqs=st["seqs"], lens=lens,
                     md0=md0, max_diff=max_diff,
-                    use_seed=st["use_seed"], pool=pool, heads=heads,
+                    use_seed=st["use_seed"], pk=pk, pl=pl, pai=pai,
+                    pdiff=pdiff, heads=heads,
                     freelist=freelist, free_top=free_top,
                     n_entries=n_entries, best_score=best_score,
-                    best_cnt=best_cnt, n_aln=n_aln, alns=alns,
+                    best_cnt=best_cnt, n_aln=n_aln,
+                    al0=al0, al1=al1, al2=al2,
                     ww0=ww0, wb0=wb0, ww1=ww1, wb1=wb1,
                     sw0=st["sw0"], sw1=st["sw1"], ch_on=ch_on, ch=ch,
                     done=done, overflow=overflow, steps=steps), None
@@ -596,7 +626,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         flush = lane["done"] & (lane["read_idx"] >= 0)
         tgt = jnp.where(flush, lane["read_idx"], N)
         out_n = c["out_n"].at[tgt].set(lane["n_aln"], mode="drop")
-        out_alns = c["out_alns"].at[tgt].set(lane["alns"], mode="drop")
+        out_alns = c["out_alns"].at[tgt].set(
+            jnp.stack([lane["al0"], lane["al1"], lane["al2"]], axis=2),
+            mode="drop")
         out_fb = c["out_fb"].at[tgt].set(lane["overflow"], mode="drop")
         busy = c["busy"] + jnp.where(flush, lane["steps"], 0).sum()
         # refill with the next unstarted reads

@@ -504,15 +504,18 @@ def pair_status(tables_cid, contig_off, contig_len, n_text: int,
 
     # single-end rows (FirstOnly/SecondOnly): Fwd/Rev Only or LowQual
     def single_status(pos, strnd, ln, mq, off, cln):
-        # non-fitting mapQ>0 singles produce NO row in the reference
-        # (StatCollector.cpp returns 2 without writing): status -1
+        # single rows only exist when the end passed AddSingleAlignment's
+        # mapQ >= 20 gate (AddAlignment, StatCollector.cpp:737-760), so
+        # the LowQual single branch is dead code in the reference; and
+        # non-fitting mapQ>0 singles produce NO row (return 2 without
+        # writing): status -1
         rev_fit = off + cln >= pos + ln
         fwd_fit = pos >= off
-        st = jnp.where(mq > 0,
+        st = jnp.where(mq >= 20,
                        jnp.where(strnd == 1,
                                  jnp.where(rev_fit, ST_REV, -1),
                                  jnp.where(fwd_fit, ST_FWD, -1)),
-                       ST_LOWQ)
+                       -1)
         return st
 
     st_p = single_status(p_pos, p_str, p_len, p_mq, off_p, len_p)

@@ -86,6 +86,8 @@ class SiteTables:
     dbsnp: jax.Array      # (S,) bool over the dense site space
     is_xy: jax.Array      # (n+1,) bool: position on an X/Y contig
     contig_id: jax.Array  # (n+1,) int32: contig index (guard row -1)
+    contig_off: jax.Array  # (C,) int32: contig pac offsets
+    contig_len: jax.Array  # (C,) int32: contig lengths
     n_sites: int = field(metadata=dict(static=True))
     n_markers: int = field(metadata=dict(static=True))
 
@@ -127,6 +129,10 @@ def build_site_tables(idx, sc, opt) -> SiteTables:
         dbsnp=jnp.asarray(sites.dbsnp),
         is_xy=jnp.asarray(is_xy),
         contig_id=jnp.asarray(contig_id),
+        contig_off=jnp.asarray(
+            np.array([c.offset for c in idx.contigs], np.int32)),
+        contig_len=jnp.asarray(
+            np.array([c.length for c in idx.contigs], np.int32)),
         n_sites=int(sites.total),
         n_markers=len(sc.vcf_rec_vec))
 
@@ -165,6 +171,8 @@ def synthetic_site_tables(text: np.ndarray, n_markers: int = 8,
         dbsnp=jnp.asarray(dbsnp),
         is_xy=jnp.asarray(is_xy),
         contig_id=jnp.asarray(contig_id),
+        contig_off=jnp.asarray(bounds[:-1].astype(np.int32)),
+        contig_len=jnp.asarray(np.diff(bounds).astype(np.int32)),
         n_sites=S, n_markers=n_markers)
 
 
@@ -236,7 +244,9 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  marker_base: jax.Array | None = None,
                  md_table: jax.Array | None = None,
                  return_per_read: bool = False,
-                 pair_mode: bool = False):
+                 pair_mode: bool = False,
+                 last_ii: jax.Array | None = None,
+                 axis_names: tuple = ()):
     """One shard's full QC step (traceable; runs inside shard_map).
 
     seqs: (B, L) reversed codes; rseqs: (B, L) revcomp codes (both as
@@ -289,6 +299,89 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
     sa_f = fm_arrays["sa"][0, row_c]
     sa_r = fm_arrays["sa"][1, row_c]
     pos = jnp.where(strand == 1, sa_f, n_text - (sa_r + lens))
+
+    pair_acc = {}
+    if pair_mode:
+        # ---- reference PE semantics on device (ops/pe_device): rows
+        # (2i, 2i+1) are mates.  isize inference uses SE mapQ (pre-
+        # pairing, bwape.c:55); the pairing sweep may move an end or
+        # rewrite mapQ; statuses/dups accumulate after.  Mate-rescue SW
+        # stays host-side (pinned deviation; the product driver routes
+        # rescued reads through the host path).
+        from .pe_device import (expand_occurrences, infer_isize_from_hist,
+                                isize_hist_local, pair_status,
+                                pairing_sweep)
+
+        k_occ = int(opt_args.get("k_occ", 32))
+        ap_prior = float(opt_args.get("ap_prior", 1e-5))
+        max_isize = int(opt_args.get("max_isize", 500))
+
+        def half(x, j):
+            return x[j::2]
+
+        se = []
+        for j in (0, 1):
+            se.append(dict(
+                pos=half(pos, j), strand=half(strand, j),
+                mapq=half(mapq, j), seq_q=half(mapq, j),
+                n_mm=half(n_mm, j), n_gapo=half(n_gapo, j),
+                n_gape=half(n_gape, j), len=half(lens, j)))
+        mapped0, mapped1 = half(mapped, 0), half(mapped, 1)
+
+        hist, mlen = isize_hist_local(
+            se[0]["pos"], se[1]["pos"], se[0]["len"], se[1]["len"],
+            se[0]["mapq"], se[1]["mapq"], mapped0 & mapped1)
+        for ax in axis_names:  # ICI first when ('host','chip')-reversed
+            hist = jax.lax.psum(hist, ax)
+            mlen = jax.lax.pmax(mlen, ax)
+        ii = infer_isize_from_hist(hist, mlen, ap_prior, n_text,
+                                   last_ii=last_ii)
+
+        occ0 = expand_occurrences(fm_arrays["sa"], n_text, half(n_aln, 0),
+                                  alns[0::2], se[0]["len"], k_occ)
+        occ1 = expand_occurrences(fm_arrays["sa"], n_text, half(n_aln, 1),
+                                  alns[1::2], se[1]["len"], k_occ)
+        occ_fit = (occ0["n_occ"] <= k_occ) & (occ1["n_occ"] <= k_occ)
+        pair_ok = mapped0 & mapped1 & occ_fit
+        out0, out1, cnt_chg = pairing_sweep(
+            occ0, occ1, alns[0::2], alns[1::2], se[0], se[1], pair_ok,
+            ii, int(opt_args.get("s_mm", 3)), max_isize, _G_LOG_N)
+
+        def ileave(a0, a1):
+            return jnp.stack([a0, a1], axis=1).reshape(-1)
+
+        pos = ileave(out0["pos"], out1["pos"])
+        strand = ileave(out0["strand"], out1["strand"])
+        mapq = ileave(out0["mapq"], out1["mapq"])
+        n_mm = ileave(out0["n_mm"], out1["n_mm"])
+        n_gapo = ileave(out0["n_gapo"], out1["n_gapo"])
+        n_gape = ileave(out0["n_gape"], out1["n_gape"])
+
+        # contig-overhang demotion (AddAlignment, StatCollector.cpp:
+        # 725-734; ungapped pos_end = pos + len -- gapped ends are a
+        # pinned deviation, they route host-side in the product driver)
+        cid = tables.contig_id[jnp.clip(pos, 0, n_text)]
+        offv = tables.contig_off[jnp.clip(cid, 0,
+                                          tables.contig_off.shape[0] - 1)]
+        clnv = tables.contig_len[jnp.clip(cid, 0,
+                                          tables.contig_len.shape[0] - 1)]
+        mapped = mapped & (cid >= 0) & (pos + lens - offv <= clnv)
+        mapped0, mapped1 = half(mapped, 0), half(mapped, 1)
+
+        ps = pair_status(tables.contig_id, tables.contig_off,
+                         tables.contig_len, n_text, out0, out1,
+                         mapped0, mapped1)
+        pair_acc = {
+            "isize_dist": ps["isize_dist"],
+            "pair_status_counts": ps["status_counts"],
+            "n_pair_reads": ps["n_pair_reads"],
+            "n_pair_cnt_chg": cnt_chg,
+            "n_pair_ovf": (mapped0 & mapped1
+                           & ~occ_fit).astype(jnp.int32).sum(),
+            "_pair_keys": ps["dup_keys"],
+            "_ii": ii,
+        }
+
     gapped = mapped & ((n_gapo > 0) | (n_gape > 0))
     eligible = mapped & (mapq >= 20) & ~gapped
 
@@ -377,36 +470,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "n_base_mapped": in_reg.astype(jnp.int32).sum(),
         "n_xy": n_xy,
     }
-    if pair_mode:
-        # pair-lite statistics (StatCollector::processPairStatus, device
-        # semantics: SE-aligned ends, no clipping/mate rescue): rows
-        # (2i, 2i+1) form a pair; FR-ordered same-contig pairs with both
-        # mapQ > 0 feed the raw insert-size histogram, the pair counter
-        # and the PCR-duplicate key set (keys counted at merge level so
-        # the duplicate table is global across shards)
-        pp, pq = pos[0::2], pos[1::2]
-        sp, sq = strand[0::2], strand[1::2]
-        lp, lq = lens[0::2], lens[1::2]
-        mp = mapped[0::2] & (mapq[0::2] > 0)
-        mq_ = mapped[1::2] & (mapq[1::2] > 0)
-        cid = tables.contig_id[jnp.clip(pos, 0, n_text)]
-        same = (cid[0::2] == cid[1::2]) & (cid[0::2] >= 0)
-        both = mp & mq_ & same
-        fr1 = both & (sp == 0) & (sq == 1) & (pp < pq)   # p fwd, q rev
-        fr2 = both & (sq == 0) & (sp == 1) & (pq < pp)   # q fwd, p rev
-        isz = jnp.where(fr1, (pq + lq) - pp,
-                        jnp.where(fr2, (pp + lp) - pq, -1))
-        ok = (isz >= 0) & (isz < 4096)
-        isize_dist = jnp.zeros(4096, jnp.int32).at[
-            jnp.where(ok, isz, 0)].add(ok.astype(jnp.int32))
-        acc["isize_dist"] = isize_dist
-        acc["n_pair_reads"] = 2 * (fr1 | fr2).astype(jnp.int32).sum()
-        start = jnp.where(fr1, pp, pq)
-        end = jnp.where(fr1, pq + lq, pp + lp)
-        keyv = fr1 | fr2
-        acc["_pair_keys"] = jnp.stack(
-            [jnp.where(keyv, start, 0x7FFFFFFF),
-             jnp.where(keyv, end, 0x7FFFFFFF)], axis=1)  # (B//2, 2)
+    acc.update(pair_acc)
     if not return_per_read:
         return acc
     # per-read flags for the driver (NOT psum-able; the mesh wrapper
@@ -423,12 +487,13 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
 
 
 def count_pcr_dups(keys: jax.Array) -> jax.Array:
-    """num_pcr_dup from a (K, 2) multiset of (start, end) pac-coordinate
-    pair keys (0x7FFFFFFF sentinel rows = no proper pair).  Every repeat
-    of a key beyond its first occurrence counts 2 reads (the reference's
-    duplicate_table adds 2 per already-seen insert signature); the count
-    depends only on the multiset, so shard/gather order is free."""
-    order = jnp.lexsort((keys[:, 1], keys[:, 0]))
+    """num_pcr_dup from a (K, 3) multiset of (contig, start, end)
+    pac-coordinate pair keys (0x7FFFFFFF sentinel rows = no proper
+    pair).  Every repeat of a key beyond its first occurrence counts 2
+    reads (the reference's duplicate_table adds 2 per already-seen
+    insert signature, StatCollector.cpp:698-704); the count depends only
+    on the multiset, so shard/gather order is free."""
+    order = jnp.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
     s = keys[order]
     valid = s[:, 0] != 0x7FFFFFFF
     same = (s[1:] == s[:-1]).all(axis=1) & valid[1:]

@@ -147,14 +147,21 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
     bitwise (pinned by tests/test_multichip.py)."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
-    def step(words, occ, sa, L2, primary, seqs, rseqs, quals, lens):
+    def step(words, occ, sa, L2, primary, seqs, rseqs, quals, lens,
+             last_ii):
         fmd = {"words": words, "occ": occ, "sa": sa, "L2": L2,
                "primary": primary}
         out = qc_step_full(fmd, tables, opt_args, seqs, rseqs, quals,
                            lens, bitmaps=bitmaps, thresh=thresh,
                            pileup_cap=pileup_cap, md_table=md_table,
-                           pair_mode=pair_mode)
+                           pair_mode=pair_mode, last_ii=last_ii,
+                           axis_names=tuple(reversed(axes)))
+        ii = None
         if pair_mode:
+            # the isize info was inferred from the psum'd global
+            # histogram, so it is identical on every shard: pass it
+            # through the final psum untouched
+            ii = out.pop("_ii")
             # PCR-dup counting needs the GLOBAL key multiset (the
             # reference's duplicate_table spans the whole run): gather
             # the per-shard keys; the count is computed identically on
@@ -188,7 +195,8 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
         if pair_mode:
             from ..ops.qc_full import count_pcr_dups
 
-            out["n_pcr_dup"] = count_pcr_dups(gkeys.reshape(-1, 2))
+            out["n_pcr_dup"] = count_pcr_dups(gkeys.reshape(-1, 3))
+            out["_ii"] = ii
         return out
 
     shard_axes = axes if len(axes) > 1 else axes[0]
@@ -196,13 +204,16 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
                   P(shard_axes, None), P(shard_axes, None),
-                  P(shard_axes, None), P(shard_axes)),
+                  P(shard_axes, None), P(shard_axes), P()),
         out_specs=P())
 
     @jax.jit
-    def run(seqs, rseqs, quals, lens):
+    def run(seqs, rseqs, quals, lens, last_ii=None):
+        if last_ii is None:
+            last_ii = jnp.zeros(7, jnp.float32)
         return sharded(fm_arrays["words"], fm_arrays["occ"],
                        fm_arrays["sa"], fm_arrays["L2"],
-                       fm_arrays["primary"], seqs, rseqs, quals, lens)
+                       fm_arrays["primary"], seqs, rseqs, quals, lens,
+                       last_ii)
 
     return run
