@@ -76,12 +76,11 @@ DEF_INNER = int(os.environ.get("FQ_BS_INNER", 32))
 # (3.6% of the bench world) for a lot of chip time (2474 -> 4008
 # reads/s measured).  0 = auto (max(768, 3 * padded read len)).
 DEF_STEPCAP = int(os.environ.get("FQ_BS_STEPCAP", 0))
-# chain sub-steps per iteration: the exact-walk chain is ~80% of the
-# per-read work (profile: ~1300 exact_alt steps vs 336 pops/read), and
-# each iteration carries a large fixed per-op ramp cost, so walking
-# several bases per iteration divides the iteration count where it
-# matters.  Extra sub-steps only cost one masked rank query each.
-DEF_CHAIN = int(os.environ.get("FQ_BS_CHAIN", 4))
+# chain sub-steps per iteration (extra masked rank queries).  Measured
+# r03 on-chip A/B at 16384 reads: chain=1 6625 reads/s vs chain=4 6212
+# (iters only dropped 11% -- chain-mode lanes are a minority on real
+# read mixes, so extra occ gathers outweigh the iteration savings).
+DEF_CHAIN = int(os.environ.get("FQ_BS_CHAIN", 1))
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -174,7 +173,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         valid = (read_ids < N) & (md_all[r] >= 0)
         lens = jnp.where(valid, lens_all[r], 0)
         md = jnp.where(valid, md_all[r], 0)
-        dead = ~valid | (n_n_all[r] > md)
+        # lens == 0 guards padding rows: an empty read would otherwise
+        # "hit" the full SA range at i == 0
+        dead = ~valid | (n_n_all[r] > md) | (lens <= 0)
         # slot 0 = (a=0, i=len, next=null), slot 1 = (a=1, i=len,
         # next=slot 0); head -> slot 1
         z = jnp.zeros((B_, NP), jnp.int32)

@@ -571,6 +571,24 @@ def pair_status(tables_cid, contig_off, contig_len, n_text: int,
 
     st_counts = jnp.zeros(8, jnp.int32).at[
         jnp.clip(status, 0, 7)].add((status >= 0).astype(jnp.int32))
+    # single rows carry the single end's max_insert fields
+    mi_s = jnp.where(single_p, jnp.where((p_str == 0) & (p_pos >= off_p),
+                                         off_p + len_p - p_pos, -1),
+                     jnp.where(single_q,
+                               jnp.where((q_str == 0) & (q_pos >= off_q),
+                                         off_q + len_q - q_pos, -1), -1))
+    mi2_s = jnp.where(single_p,
+                      jnp.where((p_str == 1)
+                                & (off_p + len_p >= p_pos + p_len),
+                                p_pos + p_len - off_p, -1),
+                      jnp.where(single_q,
+                                jnp.where((q_str == 1)
+                                          & (off_q + len_q
+                                             >= q_pos + q_len),
+                                          q_pos + q_len - off_q, -1), -1))
     return dict(status=status, actual=actual, isize_dist=isize_dist,
                 dup_keys=dup_keys, n_pair_reads=n_pair_reads,
-                status_counts=st_counts)
+                status_counts=st_counts,
+                mi=jnp.where(both, max_i, mi_s),
+                mi2=jnp.where(both, max_i2, mi2_s),
+                cid_p=cid_p, cid_q=cid_q)

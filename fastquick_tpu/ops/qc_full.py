@@ -380,6 +380,20 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                            & ~occ_fit).astype(jnp.int32).sum(),
             "_pair_keys": ps["dup_keys"],
             "_ii": ii,
+            # per-pair row data (NOT psum-able; the mesh wrapper
+            # all-gathers these in global read order so the host can
+            # write identical .InsertSizeTable rows for any mesh shape)
+            "_pair_rows": {
+                "status": ps["status"], "actual": ps["actual"],
+                "mi": ps["mi"], "mi2": ps["mi2"],
+                "cid_p": ps["cid_p"], "cid_q": ps["cid_q"],
+                "pos0": out0["pos"], "pos1": out1["pos"],
+                "strand0": out0["strand"], "strand1": out1["strand"],
+                "mapq0": out0["mapq"], "mapq1": out1["mapq"],
+                "len0": out0["len"], "len1": out1["len"],
+                "proper": out0["proper"],
+                "mapped0": mapped0, "mapped1": mapped1,
+            },
         }
 
     gapped = mapped & ((n_gapo > 0) | (n_gape > 0))

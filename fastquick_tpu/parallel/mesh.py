@@ -169,6 +169,17 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
             gkeys = out.pop("_pair_keys")
             for ax in reversed(axes):
                 gkeys = jax.lax.all_gather(gkeys, ax)
+            # per-pair row data: all-gather each field in global shard
+            # order (shards are contiguous row blocks, so concatenation
+            # IS global read order)
+            rows = out.pop("_pair_rows")
+
+            def gather_flat(x):
+                for ax in reversed(axes):
+                    x = jax.lax.all_gather(x, ax)
+                return x.reshape(-1)
+
+            rows = {kk: gather_flat(vv) for kk, vv in rows.items()}
         M = tables.n_markers
         cnt = out["pileup_cnt"]  # (M,) this shard's entries per marker
         g = cnt
@@ -180,12 +191,12 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
             rank = rank * mesh.shape[ax] + jax.lax.axis_index(ax)
         off = jnp.where(jnp.arange(g.shape[0])[:, None] < rank, g, 0
                         ).sum(axis=0)  # (M,) my global slot base
-        rows = jnp.broadcast_to(jnp.arange(M)[:, None], (M, pileup_cap))
+        prow = jnp.broadcast_to(jnp.arange(M)[:, None], (M, pileup_cap))
         cold = jnp.arange(pileup_cap)[None, :]
         tgt = cold + off[:, None]
         valid = cold < cnt[:, None]
         shifted = jnp.zeros((M, pileup_cap), jnp.int32).at[
-            rows, tgt].add(jnp.where(valid, out["pileup"], 0),
+            prow, tgt].add(jnp.where(valid, out["pileup"], 0),
                            mode="drop")
         out["pileup"] = shifted
         out["pileup_ovf"] = out["pileup_ovf"] + (
@@ -197,6 +208,7 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
 
             out["n_pcr_dup"] = count_pcr_dups(gkeys.reshape(-1, 3))
             out["_ii"] = ii
+            out["_pair_rows"] = rows
         return out
 
     shard_axes = axes if len(axes) > 1 else axes[0]
