@@ -60,12 +60,13 @@ def device_kernel_bytes_per_iter(lanes: int, pool: int, read_len: int,
                                  nbuck: int = 128, a_max: int = 48) -> int:
     """Static HBM traffic of one lockstep-search iteration (the device
     engine is bandwidth/latency bound, not FLOPs bound -- this is the
-    denominator of its speed-of-light fraction).  Entries are 5 x int32
-    (k, l, ai, mm|go<<6|ge<<12|ldp<<18, next); the push select chain
-    reads+writes the pool once (XLA fuses the 9 one-hot writes;
-    verified in the profiler trace)."""
+    denominator of its speed-of-light fraction).  The pool is 4 int32
+    PLANES (k, l, ai+next, diff) of shape (B, pool); push reads+writes
+    each plane once, pop one-hot-reads each plane once.  Measured r03:
+    wall time fits D + iters*c with D ~= 115 ms/dispatch (transfer +
+    dispatch through the relay) and c(B) ~= 80us + 0.37us*lanes."""
     B = lanes
-    pool_rw = 2 * B * pool * 5 * 4      # push chain: read + write
+    pool_rw = 3 * B * pool * 4 * 4      # pop read + push read + write
     freelist = 3 * B * pool * 4         # write-back + window + update
     heads = 3 * B * nbuck * 4
     widths = 2 * B * 2 * (read_len + 1) * 2 * 4  # width planes r/w
@@ -365,8 +366,10 @@ def main() -> int:
     if os.environ.get("FQ_BENCH_TPU_SUB", "1") == "1":
         import subprocess
 
+        # 16384 reads amortize the ~115 ms fixed dispatch cost (the
+        # measured D in time = D + iters*c) to <5% of the wall time
         env = dict(os.environ, FQ_BENCH_ENGINE="tpu",
-                   FQ_BENCH_READS="4096", FQ_BENCH_TPU_SUB="0",
+                   FQ_BENCH_READS="16384", FQ_BENCH_TPU_SUB="0",
                    FQ_BENCH_MEASURE_REF="0")
         try:
             r = subprocess.run(

@@ -19,6 +19,11 @@ if _plat == "cpu":
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    # the session image routes even CPU compiles through the axon
+    # remote-compile helper when this is set; a 3 GiB-operand program
+    # (the k-mer filter bitmaps) then takes minutes -- or hangs forever
+    # when the relay is wedged.  CPU tests must compile locally.
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 else:
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
