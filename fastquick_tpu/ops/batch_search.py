@@ -81,6 +81,11 @@ DEF_STEPCAP = int(os.environ.get("FQ_BS_STEPCAP", 0))
 # (iters only dropped 11% -- chain-mode lanes are a minority on real
 # read mixes, so extra occ gathers outweigh the iteration savings).
 DEF_CHAIN = int(os.environ.get("FQ_BS_CHAIN", 1))
+# pool access style: 0 = one-hot masked passes (full-pool streaming),
+# 1 = XLA scatter/gather point updates.  A/B'd on chip; the one-hot
+# style streams ~16 (B, NP) passes per iteration, the scatter style
+# touches only the 9 child rows + 1 popped row per lane.
+DEF_SCATTER = int(os.environ.get("FQ_BS_SCATTER", 0))
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -93,13 +98,13 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
                      "s_gapo", "s_gape", "max_gapo", "max_gape",
                      "indel_end_skip", "max_del_occ", "max_entries",
                      "max_top2", "seed_len", "max_seed_diff", "n_text",
-                     "ablate"))
+                     "ablate", "scatter"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
                    seqs_rev, lens_all, md_all, use_seed_all,
                    B, NP, K_INNER, CH_STEPS, step_cap, s_mm, s_gapo,
                    s_gape, max_gapo, max_gape, indel_end_skip, max_del_occ,
                    max_entries, max_top2, seed_len, max_seed_diff, n_text,
-                   ablate=()):
+                   ablate=(), scatter=False):
     """seqs_rev: (N, L) reversed read codes, any int dtype (4 = N / pad;
     int8 keeps the host->device transfer small -- the revcomp plane is a
     pure elementwise complement, derived here); lens_all, md_all: (N,);
@@ -253,6 +258,14 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             l = jnp.full(B, n)
             ai_w = lens | (NP << 16)
             d = jnp.zeros(B, jnp.int32)
+        elif scatter:
+
+            def row_get(plane):
+                return jnp.take_along_axis(plane, slot_c[:, None],
+                                           axis=1)[:, 0]
+
+            k, l = row_get(pk), row_get(pl)
+            ai_w, d = row_get(pai), row_get(pdiff)
         else:
             sel_slot = iota_pool == slot_c[:, None]  # (B, NP)
             k = jnp.where(sel_slot, pk, 0).sum(axis=1)
@@ -261,10 +274,20 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             d = jnp.where(sel_slot, pdiff, 0).sum(axis=1)
         nxt_f = (ai_w >> 16) & 0x7FFF
         nxt = jnp.where(nxt_f == NP, -1, nxt_f)
-        heads = oh_set(heads, jnp.clip(bucket, 0, NBUCK - 1), nxt,
-                       can_pop)
-        freelist = oh_set(freelist, jnp.clip(free_top, 0, NP - 1), slot_c,
-                          can_pop)
+        if scatter:
+            rows_b = jnp.arange(B)
+            heads = heads.at[
+                rows_b, jnp.where(can_pop, bucket, NBUCK)].set(
+                    nxt, mode="drop")
+            freelist = freelist.at[
+                rows_b, jnp.where(can_pop,
+                                  jnp.clip(free_top, 0, NP - 1), NP)].set(
+                    slot_c, mode="drop")
+        else:
+            heads = oh_set(heads, jnp.clip(bucket, 0, NBUCK - 1), nxt,
+                           can_pop)
+            freelist = oh_set(freelist, jnp.clip(free_top, 0, NP - 1),
+                              slot_c, can_pop)
         free_top = free_top + can_pop.astype(jnp.int32)
         n_entries = n_entries - can_pop.astype(jnp.int32)
 
@@ -547,8 +570,11 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         # freelist reads ride ONE batched one-hot reduction
         rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
         fidx = jnp.clip(free_top[:, None] - rank, 0, NP - 1)
-        f_hit = jnp.arange(NP)[None, None, :] == fidx[:, :, None]
-        slots = jnp.where(f_hit, freelist[:, None, :], 0).sum(axis=2)
+        if scatter:
+            slots = jnp.take_along_axis(freelist, fidx, axis=1)
+        else:
+            f_hit = jnp.arange(NP)[None, None, :] == fidx[:, :, None]
+            slots = jnp.where(f_hit, freelist[:, None, :], 0).sum(axis=2)
         free_top = free_top - total
         n_entries = n_entries + total
 
@@ -558,8 +584,12 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         # same-score adjacency is one (B, NCH, NCH) pass instead of the
         # previous ~NCH^2 scalar-op chain.
         sc_clip = jnp.clip(scores, 0, NBUCK - 1)
-        h_hit = iota_buck[:, None, :] == sc_clip[:, :, None]
-        heads_gather = jnp.where(h_hit, heads[:, None, :], 0).sum(axis=2)
+        if scatter:
+            heads_gather = jnp.take_along_axis(heads, sc_clip, axis=1)
+        else:
+            h_hit = iota_buck[:, None, :] == sc_clip[:, :, None]
+            heads_gather = jnp.where(h_hit, heads[:, None, :],
+                                     0).sum(axis=2)
         eq = scores[:, :, None] == scores[:, None, :]  # (B, ci, cj)
         tri_lo = jnp.tril(jnp.ones((NCH, NCH), bool), -1)[None]
         prev_cand = valid[:, None, :] & eq & tri_lo  # cj < ci, same score
@@ -577,7 +607,17 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         ck_w = jnp.stack(c_k, axis=1)
         cl_w = jnp.stack(c_l, axis=1)
         cdiff_w = jnp.stack(c_diff, axis=1)
-        if "nopush" not in ablate:  # ablation is profiling-only
+        if "nopush" not in ablate and scatter:
+            rows2 = jnp.arange(B)[:, None]
+            slots_m = jnp.where(valid, slots, NP)
+            pk = pk.at[rows2, slots_m].set(ck_w, mode="drop")
+            pl = pl.at[rows2, slots_m].set(cl_w, mode="drop")
+            pai = pai.at[rows2, slots_m].set(cai_w, mode="drop")
+            pdiff = pdiff.at[rows2, slots_m].set(cdiff_w, mode="drop")
+            heads = heads.at[
+                rows2, jnp.where(is_last, sc_clip, NBUCK)].set(
+                    slots, mode="drop")
+        elif "nopush" not in ablate:  # ablation is profiling-only
             # fused push: valid children hold distinct slots, so ONE
             # masked one-hot sum per plane replaces the NCH-deep
             # dependent read-modify-write chain; (B, NCH, NP) keeps the
@@ -677,6 +717,7 @@ class BatchEngine:
         self.inner = inner or DEF_INNER
         self.step_cap = step_cap if step_cap is not None else DEF_STEPCAP
         self.chain = chain or DEF_CHAIN
+        self.scatter = bool(DEF_SCATTER)
         self.last_iters = 0
         self.last_fallback = 0
         self.last_busy = 0
@@ -752,6 +793,7 @@ class BatchEngine:
             max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
             max_top2=opt.max_top2, seed_len=opt.seed_len,
             max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
+            scatter=self.scatter,
             ablate=tuple(sorted(
                 x for x in os.environ.get("FQ_BS_ABLATE", "").split(",")
                 if x)))
