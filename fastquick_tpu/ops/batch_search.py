@@ -712,6 +712,14 @@ class BatchEngine:
         except Exception:
             self.host = HostEngine(idx)
         self.max_batch = max_batch
+        # XLA CPU compile time explodes superlinearly in the read-array
+        # size (Npad=4096 ~40s, Npad=8192 >15min on this image); the TPU
+        # path compiles 16384 in ~80s.  Cap CPU chunks so tests and CPU
+        # fallback runs stay tractable.
+        import jax
+
+        if jax.default_backend() == "cpu":
+            self.max_batch = min(self.max_batch, 4096)
         self.lanes = lanes or DEF_LANES
         self.pool = pool or DEF_POOL
         self.inner = inner or DEF_INNER
