@@ -45,15 +45,12 @@ sharding of the read batch -- the property the multichip tests pin.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..align.opts import G_LOG_N
 from .batch_search import A_MAX, _search_kernel
-from .fm import DeviceFM
 from .kmer import filter_reads
 
 PILEUP_CAP = 64  # per-marker pileup slots (device tensor width)

@@ -53,10 +53,15 @@ def _sw_kernel(ref_ref, query_ref, rlen_ref, qlen_ref, out_ref, h_scr, e_scr,
     rlen = rlen_ref[:].reshape(TB, 1)
     ref_valid = lane < rlen
     refs = ref_ref[:]
+    qall = query_ref[:]  # (TB, QL)
+    qiota = jax.lax.broadcasted_iota(jnp.int32, (TB, QL), 1)
 
     def row(i, _):
         qlen = qlen_ref[:].reshape(TB, 1)
-        q = query_ref[:, pl.ds(i, 1)]  # (TB,1) dynamic VMEM load
+        # row i's query base via one-hot reduction: Mosaic cannot prove
+        # lane-dimension dynamic slices are 128-aligned
+        q = jnp.sum(jnp.where(qiota == i, qall, 0), axis=1,
+                    keepdims=True)  # (TB, 1)
         h_prev = h_scr[:]
         e_prev = e_scr[:]
         # score of aligning q (row i) against each ref column;
