@@ -86,6 +86,11 @@ DEF_CHAIN = int(os.environ.get("FQ_BS_CHAIN", 1))
 # style streams ~16 (B, NP) passes per iteration, the scatter style
 # touches only the 9 child rows + 1 popped row per lane.
 DEF_SCATTER = int(os.environ.get("FQ_BS_SCATTER", 0))
+# 1 = run the inner scan as ONE Mosaic kernel with VMEM-resident state
+# (ops/search_pallas.py) instead of the XLA op-stream: removes the
+# per-pass fusion-launch and HBM round-trip cost that dominates the XLA
+# path's measured ~357us/iter.
+DEF_PALLAS = int(os.environ.get("FQ_BS_PALLAS", 0))
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -98,19 +103,22 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
                      "s_gapo", "s_gape", "max_gapo", "max_gape",
                      "indel_end_skip", "max_del_occ", "max_entries",
                      "max_top2", "seed_len", "max_seed_diff", "n_text",
-                     "ablate", "scatter"))
+                     "ablate", "scatter", "pallas", "nbp"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
                    seqs_rev, lens_all, md_all, use_seed_all,
                    B, NP, K_INNER, CH_STEPS, step_cap, s_mm, s_gapo,
                    s_gape, max_gapo, max_gape, indel_end_skip, max_del_occ,
                    max_entries, max_top2, seed_len, max_seed_diff, n_text,
-                   ablate=(), scatter=False):
+                   ablate=(), scatter=False, pallas=False, fmtab=None,
+                   nbp=0):
     """seqs_rev: (N, L) reversed read codes, any int dtype (4 = N / pad;
     int8 keeps the host->device transfer small -- the revcomp plane is a
     pure elementwise complement, derived here); lens_all, md_all: (N,);
     md_all < 0 marks padding rows.  Returns per-read (n_aln, packed
     alns (N, A_MAX, 3) [mm|go<<6|ge<<12|a<<18|score<<19, k, l],
     fallback, n_outer_rounds, busy)."""
+    if pallas:
+        assert CH_STEPS == 1, "pallas search path supports chain=1 only"
     fm = DeviceFM(words=words, occ=occ_ckpt, sa=sa, L2=L2, primary=primary,
                   n=n_text)
     s0 = seqs_rev.astype(jnp.int32)
@@ -662,7 +670,20 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         return jnp.any(~c["lane"]["done"]) | (c["next_read"] < N)
 
     def outer_body(c):
-        lane, _ = jax.lax.scan(inner_step, c["lane"], None, length=K_INNER)
+        if pallas:
+            from .search_pallas import inner_scan_pallas
+
+            lane = inner_scan_pallas(
+                c["lane"], fmtab, L2, primary, NP=NP, K_INNER=K_INNER,
+                L=L, NBP=nbp, n=n_text, s_mm=s_mm, s_gapo=s_gapo,
+                s_gape=s_gape, max_gapo=max_gapo, max_gape=max_gape,
+                indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
+                max_entries=max_entries, max_top2=max_top2,
+                seed_len=seed_len, max_seed_diff=max_seed_diff,
+                step_cap=step_cap)
+        else:
+            lane, _ = jax.lax.scan(inner_step, c["lane"], None,
+                                   length=K_INNER)
         # flush finished lanes
         flush = lane["done"] & (lane["read_idx"] >= 0)
         tgt = jnp.where(flush, lane["read_idx"], N)
@@ -726,6 +747,16 @@ class BatchEngine:
         self.step_cap = step_cap if step_cap is not None else DEF_STEPCAP
         self.chain = chain or DEF_CHAIN
         self.scatter = bool(DEF_SCATTER)
+        # Mosaic inner-loop kernel: needs lanes % 128 (vreg lane dim) and
+        # the single-base chain walk (the measured-best config)
+        self.pallas = bool(DEF_PALLAS) and self.chain == 1
+        self.fmtab = None
+        self.nbp = 0
+        if self.pallas:
+            from .search_pallas import pack_fm_table
+
+            tab, self.nbp = pack_fm_table(self.dev)
+            self.fmtab = jnp.asarray(tab)
         self.last_iters = 0
         self.last_fallback = 0
         self.last_busy = 0
@@ -789,6 +820,7 @@ class BatchEngine:
         max_gapo = min(opt.max_gapo, batch_md)
 
         lanes = min(self.lanes, Npad)
+        use_pallas = self.pallas and lanes % 128 == 0
         n_aln, alns, fallback, rounds, busy = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
             self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
@@ -801,7 +833,8 @@ class BatchEngine:
             max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
             max_top2=opt.max_top2, seed_len=opt.seed_len,
             max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
-            scatter=self.scatter,
+            scatter=self.scatter, pallas=use_pallas, fmtab=self.fmtab,
+            nbp=self.nbp,
             ablate=tuple(sorted(
                 x for x in os.environ.get("FQ_BS_ABLATE", "").split(",")
                 if x)))
