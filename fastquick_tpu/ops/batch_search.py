@@ -680,7 +680,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
                 indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
                 max_entries=max_entries, max_top2=max_top2,
                 seed_len=seed_len, max_seed_diff=max_seed_diff,
-                step_cap=step_cap)
+                step_cap=step_cap, ablate=ablate)
         else:
             lane, _ = jax.lax.scan(inner_step, c["lane"], None,
                                    length=K_INNER)
@@ -723,7 +723,7 @@ class BatchEngine:
     def __init__(self, idx: ReducedIndex, max_batch: int = 32768,
                  lanes: int | None = None, pool: int | None = None,
                  inner: int | None = None, step_cap: int | None = None,
-                 chain: int | None = None):
+                 chain: int | None = None, pallas: bool | None = None):
         self.idx = idx
         self.dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
         try:
@@ -749,7 +749,9 @@ class BatchEngine:
         self.scatter = bool(DEF_SCATTER)
         # Mosaic inner-loop kernel: needs lanes % 128 (vreg lane dim) and
         # the single-base chain walk (the measured-best config)
-        self.pallas = bool(DEF_PALLAS) and self.chain == 1
+        if pallas is None:
+            pallas = bool(DEF_PALLAS)
+        self.pallas = pallas and self.chain == 1
         self.fmtab = None
         self.nbp = 0
         if self.pallas:

@@ -102,7 +102,7 @@ def _kernel(params, tab,
             B, NP, K_INNER, L, LW, SLW, NBP, n,
             s_mm, s_gapo, s_gape, max_gapo, max_gape, indel_end_skip,
             max_del_occ, max_entries, max_top2, seed_len, max_seed_diff,
-            step_cap):
+            step_cap, ablate=()):
     ins = refs[:len(MUTABLE)]
     outs = refs[len(MUTABLE):2 * len(MUTABLE)]
     gth, idxv, idxs, sem = refs[2 * len(MUTABLE):]
@@ -227,21 +227,23 @@ def _kernel(params, tab,
         blk = kp >> 7
         rem = kp - (blk << 7)
         idxv[:] = ss * NBP + blk
-        cp = pltpu.make_async_copy(idxv, idxs, sem)
-        cp.start()
-        cp.wait()
+        if "nogather" not in ablate:  # profiling only: results wrong
+            cp = pltpu.make_async_copy(idxv, idxs, sem)
+            cp.start()
+            cp.wait()
 
-        def gbody(b, _):
-            r = idxs[0, b]
-            gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
-            return 0
+            def gbody(b, _):
+                r = idxs[0, b]
+                gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
+                return 0
 
-        jax.lax.fori_loop(0, 2 * B, gbody, 0)
+            jax.lax.fori_loop(0, 2 * B, gbody, 0)
         gt = gth[:].T  # (16, 2B)
         ck_rows = gt[0:4]
         # in-block prefix counts (__occ_aux popcount, libbwa/bwt.h:89-96)
         cnts = [jnp.zeros((1, 2 * B), jnp.int32) for _ in range(4)]
-        for w in range(8):
+        words_rng = () if "norank" in ablate else range(8)
+        for w in words_rng:
             pw = jnp.clip(rem - 16 * w, 0, 16)
             sh = jnp.clip(32 - 2 * pw, 0, 31)
             mask_w = jnp.where(pw >= 16, _FULL_I32,
@@ -326,7 +328,7 @@ def _kernel(params, tab,
         jcum = i32(eqx)
         srow = iota0(LW)
         sshift = 1
-        while sshift < LW:
+        while sshift < LW and "noshadow" not in ablate:
             jcum = jcum + jnp.where(srow < sshift, 0,
                                     pltpu.roll(jcum, sshift, 0))
             sshift <<= 1
@@ -444,7 +446,8 @@ def _kernel(params, tab,
         for c in range(NCH):
             rank = rank + i32(cvalid[c])
             fidx = jnp.clip(free_top - rank, 0, NP - 1)
-            slots.append(oh_get(freelist, fidx))
+            slots.append(fidx if "nopush" in ablate
+                         else oh_get(freelist, fidx))
         free_top = free_top - total
         n_entries = n_entries + total
 
@@ -467,7 +470,7 @@ def _kernel(params, tab,
 
         iota_np_ = iota0(NP)
         iota_nb = iota0(NBUCK)
-        for c in range(NCH):
+        for c in range(NCH) if "nopush" not in ablate else ():
             next_f = jnp.where(nexts[c] < 0, NP, nexts[c])
             cai_w = c_ai[c] | (next_f << 16)
             m_c = (iota_np_ == slots[c]) & cvalid[c]
@@ -527,11 +530,11 @@ def _pad_to(x, rows):
                      "s_mm", "s_gapo", "s_gape", "max_gapo", "max_gape",
                      "indel_end_skip", "max_del_occ", "max_entries",
                      "max_top2", "seed_len", "max_seed_diff", "step_cap",
-                     "interpret"))
+                     "ablate", "interpret"))
 def _scan_call(tab, params, ro, mut, *, B, NP, K_INNER, L, LW, SLW, NBP,
                n, s_mm, s_gapo, s_gape, max_gapo, max_gape,
                indel_end_skip, max_del_occ, max_entries, max_top2,
-               seed_len, max_seed_diff, step_cap, interpret):
+               seed_len, max_seed_diff, step_cap, ablate, interpret):
     ro_args = [ro[k] for k in READONLY]
     mut_args = [mut[k] for k in MUTABLE]
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in mut_args]
@@ -543,7 +546,8 @@ def _scan_call(tab, params, ro, mut, *, B, NP, K_INNER, L, LW, SLW, NBP,
         max_gapo=max_gapo, max_gape=max_gape,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
         max_entries=max_entries, max_top2=max_top2, seed_len=seed_len,
-        max_seed_diff=max_seed_diff, step_cap=step_cap)
+        max_seed_diff=max_seed_diff, step_cap=step_cap,
+        ablate=ablate)
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shapes),
@@ -568,7 +572,7 @@ def _scan_call(tab, params, ro, mut, *, B, NP, K_INNER, L, LW, SLW, NBP,
 def inner_scan_pallas(lane, tab, L2, primary, *, NP, K_INNER, L, NBP, n,
                       s_mm, s_gapo, s_gape, max_gapo, max_gape,
                       indel_end_skip, max_del_occ, max_entries, max_top2,
-                      seed_len, max_seed_diff, step_cap):
+                      seed_len, max_seed_diff, step_cap, ablate=()):
     """Drop-in replacement for lax.scan(inner_step, lane, None, K_INNER).
 
     lane: the B-major state dict of batch_search._search_kernel.  Returns
@@ -612,7 +616,7 @@ def inner_scan_pallas(lane, tab, L2, primary, *, NP, K_INNER, L, NBP, n,
         max_del_occ=max_del_occ, max_entries=max_entries,
         max_top2=max_top2, seed_len=seed_len,
         max_seed_diff=max_seed_diff, step_cap=step_cap,
-        interpret=interpret)
+        ablate=ablate, interpret=interpret)
     new = dict(lane)
     for key in MUTABLE:
         v = out[key]

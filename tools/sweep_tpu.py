@@ -8,7 +8,8 @@ prints one JSON line per config.  Results also verify against the
 native engine so a perf experiment can never silently trade away
 correctness.
 
-Usage: python tools/sweep_tpu.py "lanes,pool,chain[,inner[,abl+abl]]" ...
+Usage: python tools/sweep_tpu.py "lanes,pool,chain[,inner[,abl+abl|pallas]]" ...
+(5th token "pallas" selects the Mosaic inner-loop kernel.)
 Defaults to the round-3 ladder if no configs are given.  The optional
 5th token sets FQ_BS_ABLATE for that config (profiling only: results
 may be wrong, correctness check reported but expected to fail for
@@ -77,6 +78,10 @@ def main() -> int:
 
     for lanes, pool, chain, inner, abl in configs:
         tag = f"lanes={lanes},pool={pool},chain={chain},inner={inner}"
+        use_pallas = abl.startswith("pallas")
+        if use_pallas:
+            abl = abl[len("pallas"):].lstrip("+")
+            tag += ",pallas"
         if abl:
             tag += f",ablate={abl}"
             os.environ["FQ_BS_ABLATE"] = abl
@@ -84,7 +89,7 @@ def main() -> int:
             os.environ.pop("FQ_BS_ABLATE", None)
         try:
             eng = BatchEngine(idx, lanes=lanes, pool=pool, chain=chain,
-                              inner=inner)
+                              inner=inner, pallas=use_pallas)
             t0 = time.time()
             eng.align_batch(reads, opt)
             t_compile = time.time() - t0
