@@ -61,22 +61,38 @@ def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
     return out
 
 
-def pack_fm_table(dev: DeviceFM) -> tuple[np.ndarray, int]:
-    """Pack occ checkpoints + bwt words into one (2*nbp, 16) int32 table.
+def pack_fm_table(dev: DeviceFM, fat: bool = True
+                  ) -> tuple[np.ndarray, int]:
+    """Pack occ checkpoints + bwt words into one (2*nbp, W) int32 table.
 
-    Row layout: [occ c0..c3 | bwt words w0..w7 | 4 pad] = 64 bytes, so
-    one occ query is ONE contiguous row gather.  Row index =
+    fat=True (W=24): [occ c0..c3 | words w0..w7 | cum c8 | 4 pad] where
+    cum int32 j packs the 4 per-char base counts of words [0, j) of the
+    block as bytes (<= 112 each) -- the kernel then popcounts only the
+    single boundary word instead of all 8 with per-word masks.
+    fat=False (W=16): [occ4 | words8 | pad4].  VMEM cost is identical:
+    Mosaic lane-pads minor dims to 128 either way.  Row index =
     sel * nbp + block.  Returns (table, nbp).
     """
     occ = np.asarray(dev.occ)      # (2, nbo, 4) int32
     words = np.asarray(dev.words)  # (2, nbw, 8) uint32
     nbo, nbw = occ.shape[1], words.shape[1]
     nbp = -(-max(nbo, nbw) // 8) * 8
+    width = 24 if fat else 16
     rows = []
     for s in range(2):
-        r = np.zeros((nbp, 16), dtype=np.int32)
+        r = np.zeros((nbp, width), dtype=np.int32)
         r[:nbo, 0:4] = occ[s]
         r[:nbw, 4:12] = words[s].view(np.int32)
+        if fat:
+            shifts = (2 * (15 - np.arange(16))).astype(np.uint32)
+            codes = (words[s][:, :, None] >> shifts[None, None, :]) & 3
+            cnt = np.stack([(codes == c).sum(-1) for c in range(4)],
+                           axis=-1)  # (nbw, 8, 4)
+            cume = np.zeros_like(cnt)
+            cume[:, 1:] = np.cumsum(cnt, axis=1)[:, :-1]
+            packed = (cume[..., 0] | (cume[..., 1] << 8)
+                      | (cume[..., 2] << 16) | (cume[..., 3] << 24))
+            r[:nbw, 12:20] = packed.astype(np.int32)
         rows.append(r)
     return np.concatenate(rows, axis=0), nbp
 
@@ -226,7 +242,9 @@ def _kernel(params, tab,
         kp = jnp.clip(kp, 0, n)
         blk = kp >> 7
         rem = kp - (blk << 7)
-        idxv[:] = ss * NBP + blk
+        # clip guards the DMA against state-invariant violations (a
+        # corrupt strand bit would otherwise fault the chip)
+        idxv[:] = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
         if "nogather" not in ablate:  # profiling only: results wrong
             cp = pltpu.make_async_copy(idxv, idxs, sem)
             cp.start()
@@ -238,24 +256,47 @@ def _kernel(params, tab,
                 return 0
 
             jax.lax.fori_loop(0, 2 * B, gbody, 0)
-        gt = gth[:].T  # (16, 2B)
+        gt = gth[:].T  # (TABW, 2B)
         ck_rows = gt[0:4]
         # in-block prefix counts (__occ_aux popcount, libbwa/bwt.h:89-96)
         cnts = [jnp.zeros((1, 2 * B), jnp.int32) for _ in range(4)]
-        words_rng = () if "norank" in ablate else range(8)
-        for w in words_rng:
-            pw = jnp.clip(rem - 16 * w, 0, 16)
-            sh = jnp.clip(32 - 2 * pw, 0, 31)
-            mask_w = jnp.where(pw >= 16, _FULL_I32,
-                               jax.lax.shift_left(
-                                   jnp.full_like(sh, _FULL_I32), sh))
-            mask_w = jnp.where(pw <= 0, 0, mask_w)
-            x_w = gt[4 + w:5 + w]
+        if tab.shape[1] >= 24 and "norank" not in ablate:
+            # fat rows carry per-word cumulative counts: select the
+            # boundary word + its cum bytes, popcount ONE masked word
+            widx = rem >> 4
+            rem16 = rem & 15
+            w_sel = jnp.zeros((1, 2 * B), jnp.int32)
+            cum_sel = jnp.zeros((1, 2 * B), jnp.int32)
+            for w in range(8):
+                is_w = widx == w
+                w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
+                cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
+            sh = 32 - 2 * rem16  # rem16 in [0,15] -> sh in [2,32]
+            mask_w = jnp.where(
+                rem16 <= 0, 0,
+                jax.lax.shift_left(jnp.full_like(sh, _FULL_I32),
+                                   jnp.clip(sh, 0, 31)))
             for c in range(4):
-                xc = x_w ^ _PAT_I32[c]
+                xc = w_sel ^ _PAT_I32[c]
                 y = xc | lsr(xc, 1)
                 match = (~y) & _EVEN_I32 & mask_w
-                cnts[c] = cnts[c] + jax.lax.population_count(match)
+                cnts[c] = ((lsr(cum_sel, 8 * c) & 255)
+                           + jax.lax.population_count(match))
+        else:
+            words_rng = () if "norank" in ablate else range(8)
+            for w in words_rng:
+                pw = jnp.clip(rem - 16 * w, 0, 16)
+                sh = jnp.clip(32 - 2 * pw, 0, 31)
+                mask_w = jnp.where(pw >= 16, _FULL_I32,
+                                   jax.lax.shift_left(
+                                       jnp.full_like(sh, _FULL_I32), sh))
+                mask_w = jnp.where(pw <= 0, 0, mask_w)
+                x_w = gt[4 + w:5 + w]
+                for c in range(4):
+                    xc = x_w ^ _PAT_I32[c]
+                    y = xc | lsr(xc, 1)
+                    match = (~y) & _EVEN_I32 & mask_w
+                    cnts[c] = cnts[c] + jax.lax.population_count(match)
         occr = jnp.concatenate(
             [ck_rows[c:c + 1] + cnts[c] for c in range(4)], axis=0)
         cnt_k4 = occr[:, :B]   # (4, B)
@@ -557,7 +598,7 @@ def _scan_call(tab, params, ro, mut, *, B, NP, K_INNER, L, LW, SLW, NBP,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(MUTABLE),
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in MUTABLE),
-        scratch_shapes=[pltpu.VMEM((2 * B, 16), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2 * B, tab.shape[1]), jnp.int32),
                         pltpu.VMEM((1, 2 * B), jnp.int32),
                         pltpu.SMEM((1, 2 * B), jnp.int32),
                         pltpu.SemaphoreType.DMA(())],
