@@ -171,6 +171,19 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     n_n_all = ((seqs_all[:, 0, :] > 3)
                & (jnp.arange(L)[None, :] < lens_all[:, None])).sum(axis=1)
 
+    if pallas == "resident":
+        from .search_pallas import resident_search
+
+        return resident_search(
+            fmtab, L2, primary, seqs_all, w0_all, seed_w_all, n_n_all,
+            lens_all, md_all, use_seed_all, B=B, NP=NP, RF=K_INNER,
+            NBP=nbp, n=n_text, s_mm=s_mm, s_gapo=s_gapo, s_gape=s_gape,
+            max_gapo=max_gapo, max_gape=max_gape,
+            indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
+            max_entries=max_entries, max_top2=max_top2,
+            seed_len=seed_len, max_seed_diff=max_seed_diff,
+            step_cap=step_cap)
+
     # per-read outputs; hit rows are packed 3 int32 words (the device->
     # host result copy rides the same narrow link as the inputs)
     out_n = jnp.zeros(N + 1, jnp.int32)
@@ -748,10 +761,15 @@ class BatchEngine:
         self.chain = chain or DEF_CHAIN
         self.scatter = bool(DEF_SCATTER)
         # Mosaic inner-loop kernel: needs lanes % 128 (vreg lane dim) and
-        # the single-base chain walk (the measured-best config)
+        # the single-base chain walk (the measured-best config).
+        # FQ_BS_PALLAS: 0 = off, 1 = "resident" (whole chunk in ONE
+        # pallas_call, in-kernel flush/refill), 2 = "scan" (Mosaic inner
+        # scan, XLA outer round)
         if pallas is None:
-            pallas = bool(DEF_PALLAS)
-        self.pallas = pallas and self.chain == 1
+            pallas = {1: "resident", 2: "scan"}.get(DEF_PALLAS, False)
+        elif pallas is True:
+            pallas = "scan"
+        self.pallas = pallas if self.chain == 1 else False
         self.fmtab = None
         self.nbp = 0
         if self.pallas:
@@ -822,7 +840,7 @@ class BatchEngine:
         max_gapo = min(opt.max_gapo, batch_md)
 
         lanes = min(self.lanes, Npad)
-        use_pallas = self.pallas and lanes % 128 == 0
+        use_pallas = self.pallas if lanes % 128 == 0 else False
         n_aln, alns, fallback, rounds, busy = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
             self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),

@@ -21,18 +21,19 @@ from fastquick_tpu.ops.batch_search import BatchEngine
 from test_batch_engine import aln_key, make_idx, make_read, synth_reads
 
 
-def pallas_engine(idx, **kw):
+def pallas_engine(idx, mode="scan", **kw):
     eng = BatchEngine(idx, **kw)
     from fastquick_tpu.ops.search_pallas import pack_fm_table
 
     tab, eng.nbp = pack_fm_table(eng.dev)
     eng.fmtab = jax.numpy.asarray(tab)
-    eng.pallas = True
+    eng.pallas = mode
     return eng
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_pallas_matches_xla_and_host(seed):
+@pytest.mark.parametrize("seed,mode", [(0, "scan"), (1, "scan"),
+                                       (0, "resident"), (1, "resident")])
+def test_pallas_matches_xla_and_host(seed, mode):
     idx = make_idx(seed=seed)
     opt = GapOpt()
     reads_h = synth_reads(idx, 60, seed + 10)
@@ -41,7 +42,7 @@ def test_pallas_matches_xla_and_host(seed):
     HostEngine(idx).align_batch(reads_h, opt)
     ex = BatchEngine(idx, max_batch=64)
     ex.align_batch(reads_x, opt)
-    ep = pallas_engine(idx, max_batch=64)
+    ep = pallas_engine(idx, mode=mode, max_batch=64)
     ep.align_batch(reads_p, opt)
     assert ep.last_fallback == ex.last_fallback
     for i, (h, x, p) in enumerate(zip(reads_h, reads_x, reads_p)):
@@ -65,6 +66,6 @@ def test_pallas_n_bases_and_lengths():
     rh = [make_read(c.copy()) for c in reads]
     rp = [make_read(c.copy()) for c in reads]
     HostEngine(idx).align_batch(rh, opt)
-    pallas_engine(idx).align_batch(rp, opt)
+    pallas_engine(idx, mode="resident").align_batch(rp, opt)
     for h, p in zip(rh, rp):
         assert [aln_key(a) for a in h.aln] == [aln_key(a) for a in p.aln]

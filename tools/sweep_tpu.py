@@ -78,8 +78,13 @@ def main() -> int:
 
     for lanes, pool, chain, inner, abl in configs:
         tag = f"lanes={lanes},pool={pool},chain={chain},inner={inner}"
-        use_pallas = abl.startswith("pallas")
-        if use_pallas:
+        use_pallas = False
+        if abl.startswith("resident"):
+            use_pallas = "resident"
+            abl = abl[len("resident"):].lstrip("+")
+            tag += ",resident"
+        elif abl.startswith("pallas"):
+            use_pallas = "scan"
             abl = abl[len("pallas"):].lstrip("+")
             tag += ",pallas"
         if abl:
