@@ -350,8 +350,10 @@ def main() -> int:
         gbs = bpi * iters / dt / 1e9
         out.update({
             "engine": "tpu",
+            "kernel": engine.pallas or "xla",
             "iters": iters,
             "fallback_reads": engine.last_fallback,
+            "fallback_causes": engine.last_fb_causes,
             "busy_lane_frac": round(
                 getattr(engine, "last_busy", 0)
                 / max(iters * engine.lanes, 1), 3),
@@ -380,7 +382,8 @@ def main() -> int:
                     if ln.startswith("{")][-1]
             tpu = json.loads(line)
             out["tpu_reads_per_sec"] = tpu["value"]
-            for key in ("iters", "fallback_reads", "busy_lane_frac",
+            for key in ("kernel", "iters", "fallback_reads",
+                        "fallback_causes", "busy_lane_frac",
                         "bytes_per_iter", "achieved_GBps",
                         "hbm_sol_frac"):
                 out[f"tpu_{key}"] = tpu.get(key)

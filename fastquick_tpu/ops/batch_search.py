@@ -48,6 +48,17 @@ from .fm import DeviceFM, cal_width, occ4, occ4_pair
 
 STATE_M, STATE_I, STATE_D = 0, 1, 2
 
+# fallback-cause bits carried in the per-read overflow word (0 = no
+# fallback; any nonzero routes the read to the exact native/host engine)
+FB_POOL = 1       # pool capacity exceeded (free slots < children)
+FB_SCORE = 2      # child score outside the NBUCK bucket range
+FB_AMAX = 4       # more than A_MAX recorded hits
+FB_STEPCAP = 8    # per-lane step cap hit
+FB_NOFLUSH = 16   # resident kernel: lane never flushed (CAP rounds)
+FB_LONG = 32      # read longer than MAX_READ_LEN (host-side gate)
+FB_NAMES = {FB_POOL: "pool", FB_SCORE: "score", FB_AMAX: "amax",
+            FB_STEPCAP: "stepcap", FB_NOFLUSH: "noflush", FB_LONG: "long"}
+
 A_MAX = 48  # max recorded hits per read
 NBUCK = 128  # score buckets (init best_score + s_mm + s_gapo < 128 always)
 # pool entry = 4 int32 PLANES of shape (B, NP): k, l, ai, diff.
@@ -86,11 +97,18 @@ DEF_CHAIN = int(os.environ.get("FQ_BS_CHAIN", 1))
 # style streams ~16 (B, NP) passes per iteration, the scatter style
 # touches only the 9 child rows + 1 popped row per lane.
 DEF_SCATTER = int(os.environ.get("FQ_BS_SCATTER", 0))
-# 1 = run the inner scan as ONE Mosaic kernel with VMEM-resident state
-# (ops/search_pallas.py) instead of the XLA op-stream: removes the
-# per-pass fusion-launch and HBM round-trip cost that dominates the XLA
-# path's measured ~357us/iter.
-DEF_PALLAS = int(os.environ.get("FQ_BS_PALLAS", 0))
+# Mosaic kernel selection for the search loop.  Default 1 = "resident":
+# the whole chunk in ONE pallas_call with VMEM-resident state and
+# in-kernel flush/refill (ops/search_pallas.py) -- this IS the device
+# engine (15.1k reads/s on-chip vs 6.7k for the XLA op-stream, r03);
+# the XLA path remains as the 0 setting for A/Bs and as the automatic
+# fallback when the index/chunk exceeds the VMEM budget.  2 = "scan"
+# (Mosaic inner scan, XLA outer round; kept for ablations).
+DEF_PALLAS = int(os.environ.get("FQ_BS_PALLAS", 1))
+# VMEM budget the resident kernel must fit in (scratch + packed FM
+# table); matches the vmem_limit_bytes passed to the Mosaic compile
+# minus headroom for compiler temporaries
+PALLAS_VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -117,8 +135,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     md_all < 0 marks padding rows.  Returns per-read (n_aln, packed
     alns (N, A_MAX, 3) [mm|go<<6|ge<<12|a<<18|score<<19, k, l],
     fallback, n_outer_rounds, busy)."""
-    if pallas:
-        assert CH_STEPS == 1, "pallas search path supports chain=1 only"
+    if pallas == "scan":
+        assert CH_STEPS == 1, "pallas scan path supports chain=1 only"
     fm = DeviceFM(words=words, occ=occ_ckpt, sa=sa, L2=L2, primary=primary,
                   n=n_text)
     s0 = seqs_rev.astype(jnp.int32)
@@ -182,13 +200,13 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
             max_entries=max_entries, max_top2=max_top2,
             seed_len=seed_len, max_seed_diff=max_seed_diff,
-            step_cap=step_cap)
+            step_cap=step_cap, CH=CH_STEPS)
 
     # per-read outputs; hit rows are packed 3 int32 words (the device->
     # host result copy rides the same narrow link as the inputs)
     out_n = jnp.zeros(N + 1, jnp.int32)
     out_alns = jnp.zeros((N + 1, A_MAX, 3), jnp.int32)
-    out_fb = jnp.zeros(N + 1, bool)
+    out_fb = jnp.zeros(N + 1, jnp.int32)  # fallback-cause bits (FB_*)
 
     iota_np = jnp.arange(NP - 1, -1, -1, dtype=jnp.int32)
 
@@ -236,7 +254,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             sw0=seed_w_all[r, 0], sw1=seed_w_all[r, 1],  # (B, SL+1, 2)
             ch_on=jnp.zeros_like(valid),
             ch=jnp.zeros((read_ids.shape[0], 8), jnp.int32),
-            done=dead, overflow=jnp.zeros_like(valid),
+            done=dead, overflow=jnp.zeros_like(lens),
             steps=jnp.zeros_like(lens))
 
     LANE_KEYS = ("read_idx", "seqs", "lens", "md0", "max_diff", "use_seed",
@@ -480,7 +498,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         wb1 = jnp.where(upd1, wb_new, wb1)
         aslot = jnp.clip(st["n_aln"], 0, A_MAX - 1)
         add_m = do_add & (st["n_aln"] < A_MAX)
-        overflow = st["overflow"] | (do_add & (st["n_aln"] >= A_MAX))
+        overflow = st["overflow"] | jnp.where(
+            do_add & (st["n_aln"] >= A_MAX), FB_AMAX, 0)
         al0 = oh_set(st["al0"],
                      aslot, hmm | (hgo << 6) | (hge << 12) | (ha << 18)
                      | (score << 19), add_m)
@@ -582,7 +601,8 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         bad_score = (valid & (scores >= NBUCK)).any(axis=1)
         no_room = total > free_top
         ovf = (bad_score | no_room) & expand
-        overflow = overflow | ovf
+        overflow = overflow | jnp.where(bad_score & expand, FB_SCORE, 0) \
+            | jnp.where(no_room & expand, FB_POOL, 0)
         done = done | ovf
         valid = valid & ~ovf[:, None]
         total = jnp.where(ovf, 0, total)
@@ -664,7 +684,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         # per-lane step cap -> exact fallback (guards pathological reads)
         steps = st["steps"] + (~done).astype(jnp.int32)
         capped = ~done & (steps > step_cap)
-        overflow = overflow | capped
+        overflow = overflow | jnp.where(capped, FB_STEPCAP, 0)
         done = done | capped
 
         return dict(read_idx=read_idx, seqs=st["seqs"], lens=lens,
@@ -767,19 +787,45 @@ class BatchEngine:
         # scan, XLA outer round)
         if pallas is None:
             pallas = {1: "resident", 2: "scan"}.get(DEF_PALLAS, False)
+            # CPU backend runs Mosaic kernels in interpret mode -- a
+            # correctness tool, orders of magnitude slower than the XLA
+            # scan.  Product CPU runs use the native engine anyway, so
+            # the default engages the kernel only on real devices;
+            # explicit pallas= (the differential tests) still forces it.
+            if jax.default_backend() == "cpu":
+                pallas = False
         elif pallas is True:
             pallas = "scan"
-        self.pallas = pallas if self.chain == 1 else False
+        # the scan kernel supports chain=1 only; resident supports any
+        if pallas == "scan" and self.chain != 1:
+            pallas = False
+        self.pallas = pallas
         self.fmtab = None
         self.nbp = 0
         if self.pallas:
-            from .search_pallas import pack_fm_table
+            from .search_pallas import pack_fm_table, resident_vmem_bytes
 
-            tab, self.nbp = pack_fm_table(self.dev)
-            self.fmtab = jnp.asarray(tab)
+            tab, nbp = pack_fm_table(self.dev)
+            # the whole packed table must be VMEM-resident (plus kernel
+            # scratch at a nominal 151bp read shape); an oversized index
+            # would fail the Mosaic compile at runtime, so disable the
+            # pallas path up front instead
+            est = resident_vmem_bytes(self.lanes, self.pool, 256, 32,
+                                      tab.shape[1], nbp)
+            if est > PALLAS_VMEM_BUDGET:
+                from ..utils.logging import warning
+
+                warning("FM table too large for the VMEM-resident search "
+                        "kernel (%d MB est); using the XLA device path",
+                        est >> 20)
+                self.pallas = False
+            else:
+                self.nbp = nbp
+                self.fmtab = jnp.asarray(tab)
         self.last_iters = 0
         self.last_fallback = 0
         self.last_busy = 0
+        self.last_fb_causes: dict[str, int] = {}
 
     def align_batch(self, reads, opt: GapOpt) -> None:
         todo = [p for p in reads if not p.filtered]
@@ -792,8 +838,16 @@ class BatchEngine:
         self.last_fallback = 0
         self.last_iters = 0
         self.last_busy = 0
+        self.last_fb_causes = {}
         for s in range(0, len(todo), self.max_batch):
             self._run_chunk(todo[s:s + self.max_batch], opt)
+
+    def _count_causes(self, cause_words) -> None:
+        for bit, name in FB_NAMES.items():
+            c = int(((np.asarray(cause_words) & bit) != 0).sum())
+            if c:
+                self.last_fb_causes[name] = (
+                    self.last_fb_causes.get(name, 0) + c)
 
     def _run_chunk(self, todo, opt: GapOpt) -> None:
         if not todo:
@@ -811,6 +865,8 @@ class BatchEngine:
         if long_reads:
             self.host.align_batch(long_reads, opt)
             self.last_fallback += len(long_reads)
+            self.last_fb_causes["long"] = (
+                self.last_fb_causes.get("long", 0) + len(long_reads))
             todo = [p for p in todo if p.len <= MAX_READ_LEN]
         if not todo:
             return
@@ -841,6 +897,17 @@ class BatchEngine:
 
         lanes = min(self.lanes, Npad)
         use_pallas = self.pallas if lanes % 128 == 0 else False
+        if use_pallas:
+            # scratch scales with the padded read length: re-check the
+            # VMEM budget at the chunk's actual Lpad (long-read chunks
+            # take the XLA path instead of failing the Mosaic compile)
+            from .search_pallas import resident_vmem_bytes
+
+            est = resident_vmem_bytes(lanes, self.pool, Lpad,
+                                      opt.seed_len, self.fmtab.shape[1],
+                                      self.nbp)
+            if est > PALLAS_VMEM_BUDGET:
+                use_pallas = False
         n_aln, alns, fallback, rounds, busy = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
             self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
@@ -862,7 +929,8 @@ class BatchEngine:
         alns = np.asarray(alns)
         fallback = np.asarray(fallback)
         self.last_iters += int(rounds) * int(self.inner)
-        self.last_fallback += int(fallback[:B].sum())
+        self.last_fallback += int((fallback[:B] != 0).sum())
+        self._count_causes(fallback[:B])
         self.last_busy += int(busy)
 
         fb_reads = []

@@ -288,7 +288,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
 
     mapped, strand, row, c1, c2, n_mm, n_gapo, n_gape = se_select(
         n_aln, alns)
-    mapped = mapped & kept & ~fallback
+    mapped = mapped & kept & (fallback == 0)
     mapq = _approx_mapq(c1, c2, n_mm == md_of_len)
     # SA row -> pac pos (bwa_cal_pac_pos / pe.sa_pos): strand 1 reads the
     # forward SA; strand 0 converts through the reverse index
@@ -477,7 +477,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "n_mapped": mapped.astype(jnp.int32).sum(),
         "n_eligible": eligible.astype(jnp.int32).sum(),
         "n_gapped": gapped.astype(jnp.int32).sum(),
-        "n_fallback": fallback.astype(jnp.int32).sum(),
+        "n_fallback": (fallback != 0).astype(jnp.int32).sum(),
         "n_base_mapped": in_reg.astype(jnp.int32).sum(),
         "n_xy": n_xy,
     }
@@ -491,7 +491,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "kept": kept,
         "mapped": mapped,
         "eligible": eligible,
-        "host_redo": kept & (fallback
+        "host_redo": kept & ((fallback != 0)
                              | (mapped & gapped & (mapq >= 20))),
     }
     return acc, per_read

@@ -48,6 +48,9 @@ A_MAX = 48
 NBUCK = 128
 NCH = 9  # ins + 4 del + 4 mm children per expansion (C push order)
 
+# fallback-cause bits (must match batch_search.FB_*)
+FB_POOL, FB_SCORE, FB_AMAX, FB_STEPCAP, FB_NOFLUSH = 1, 2, 4, 8, 16
+
 # __occ_aux 2-bit match patterns as int32 bit patterns
 _PAT_I32 = [int(np.uint32(p).view(np.int32)) for p in
             (0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF)]
@@ -101,6 +104,31 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
     return mm * s_mm + go * s_gapo + ge * s_gape
 
 
+def _lanepad(w: int) -> int:
+    return -(-w // 128) * 128
+
+
+def resident_vmem_bytes(B: int, NP: int, L: int, SL: int, tabw: int,
+                        nbp: int) -> int:
+    """Estimated VMEM footprint of the resident kernel (scratch + the
+    lane-padded FM table).  Mosaic pads every minor dim to 128 lanes;
+    the (W, B) planes have B % 128 == 0 already.  Used to gate
+    use_pallas so an oversized chunk/index falls back to the XLA path
+    instead of failing the Mosaic compile at runtime."""
+    LW = -(-(L + 1) // 8) * 8
+    SLW = -(-(SL + 1) // 8) * 8
+    CSUB = consts_layout(L, SL)["CSUB"]
+    rows = (6 * NP + NBUCK + SCALROWS + 2 * 8 + 3 * A_MAX
+            + 4 * LW + 2 * L + 4 * SLW)
+    scratch = rows * B * 4
+    scratch += B * 8 * CSUB * 4          # consts_v
+    scratch += B * 8 * OSUB * 4          # outp
+    scratch += 2 * B * _lanepad(tabw) * 4  # gth
+    scratch += _lanepad(2 * B) * 4 + B * _lanepad(4) * 4  # idxv + stage_v
+    tab = 2 * nbp * _lanepad(tabw) * 4
+    return scratch + tab
+
+
 # mutable state planes, kernel argument order (transposed layouts)
 MUTABLE = ("pk", "pl", "pai", "pdiff", "heads", "freelist",
            "free_top", "n_entries", "best_score", "best_cnt", "n_aln",
@@ -108,7 +136,7 @@ MUTABLE = ("pk", "pl", "pai", "pdiff", "heads", "freelist",
            "max_diff", "ch_on", "ch", "done", "overflow", "steps")
 READONLY = ("seqs2l", "lens", "md0", "use_seed",
             "sww0", "swb0", "sww1", "swb1")
-BOOLS = {"ch_on", "done", "overflow", "use_seed"}
+BOOLS = {"ch_on", "done", "use_seed"}  # overflow stays int (cause bits)
 
 
 def _kernel(params, tab,
@@ -358,12 +386,16 @@ def _kernel(params, tab,
         dup = jnp.sum(i32((al1 == hk) & (al2 == hl) & slots_used),
                       axis=0, keepdims=True) > 0
         do_add = hit & ~((hgo > 0) & dup)
-        # gap_shadow on the hit strand's width planes (bwtgap.c:81-91)
+        # gap_shadow on the hit strand's width planes (bwtgap.c:81-91).
+        # 'noshadow' zeroes the whole update (matching the XLA path's
+        # ablation semantics, not just the cumsum).
+        do_add_sh = (jnp.zeros_like(do_add) if "noshadow" in ablate
+                     else do_add)
         x = hl - hk + 1
         ha0 = ha == 0
         ww_a = jnp.where(ha0, ww0, ww1)
         wb_a = jnp.where(ha0, wb0, wb1)
-        in_rng = (iota0(LW) < hldp) & do_add
+        in_rng = (iota0(LW) < hldp) & do_add_sh
         eqx = (ww_a == x) & in_rng
         # inclusive cumsum along positions: log-step sublane roll
         jcum = i32(eqx)
@@ -376,15 +408,16 @@ def _kernel(params, tab,
         ww_new = jnp.where(in_rng & (ww_a > x), ww_a - x,
                            jnp.where(eqx, n - jcum, ww_a))
         wb_new = jnp.where(eqx, 1, wb_a)
-        upd0 = do_add & ha0
-        upd1 = do_add & ~ha0
+        upd0 = do_add_sh & ha0
+        upd1 = do_add_sh & ~ha0
         ww0 = jnp.where(upd0, ww_new, ww0)
         wb0 = jnp.where(upd0, wb_new, wb0)
         ww1 = jnp.where(upd1, ww_new, ww1)
         wb1 = jnp.where(upd1, wb_new, wb1)
         aslot = jnp.clip(n_aln, 0, A_MAX - 1)
         add_m = do_add & (n_aln < A_MAX)
-        overflow = (st["overflow"][:] != 0) | (do_add & (n_aln >= A_MAX))
+        overflow = st["overflow"][:] | jnp.where(
+            do_add & (n_aln >= A_MAX), FB_AMAX, 0)
         al0 = oh_set(al0, aslot,
                      hmm | (hgo << 6) | (hge << 12) | (ha << 18)
                      | (score << 19), add_m)
@@ -476,7 +509,8 @@ def _kernel(params, tab,
             bad_score = bad_score | (cvalid[c] & (cscore[c] >= NBUCK))
         no_room = total > free_top
         ovf = (bad_score | no_room) & expand
-        overflow = overflow | ovf
+        overflow = (overflow | jnp.where(bad_score & expand, FB_SCORE, 0)
+                    | jnp.where(no_room & expand, FB_POOL, 0))
         done = done | ovf
         cvalid = [v & ~ovf for v in cvalid]
         total = jnp.where(ovf, 0, total)
@@ -525,7 +559,7 @@ def _kernel(params, tab,
         # per-lane step cap -> exact fallback
         steps = st["steps"][:] + i32(~done)
         capped = ~done & (steps > step_cap)
-        overflow = overflow | capped
+        overflow = overflow | jnp.where(capped, FB_STEPCAP, 0)
         done = done | capped
 
         st["pk"][:] = pk
@@ -742,7 +776,7 @@ def _resident_kernel(params, tab, consts, out_seed,
                      consts_v, outp,
                      gth, idxv, idxs, stage_v, stage_s,
                      sem_g, sem_f, sem_r, sem_s,
-                     *, B, NP, RF, CAP, L, LW, SLW, SL, NBP, N, n,
+                     *, B, NP, RF, CAP, CH, L, LW, SLW, SL, NBP, N, n,
                      s_mm, s_gapo, s_gape, max_gapo, max_gape,
                      indel_end_skip, max_del_occ, max_entries, max_top2,
                      seed_len, max_seed_diff, step_cap):
@@ -865,73 +899,92 @@ def _resident_kernel(params, tab, consts, out_seed,
         start_chain = alive & (i > 0) & (m == 0)
         expand = alive & ~hit_i0 & ~start_chain
 
+        def rank4(qk, ql, sel):
+            """bwt_2occ4 via the packed VMEM table: per-lane occ counts
+            of all 4 chars at qk-1 and ql on strand-select sel.  Returns
+            (cnt_k4, cnt_l4, L2row): (4, B) counts + per-char L2 rows."""
+            qq = jnp.concatenate([qk - 1, ql], axis=1)  # (1, 2B)
+            ss = jnp.concatenate([sel, sel], axis=1)
+            kk = qq + 1
+            prim = jnp.where(ss == 0, P0, P1)
+            kp = kk - i32(kk > prim)
+            kp = jnp.clip(kp, 0, n)
+            blk = kp >> 7
+            rem = kp - (blk << 7)
+            idxv[:] = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
+            cp = pltpu.make_async_copy(idxv, idxs, sem_g)
+            cp.start()
+            cp.wait()
+
+            def gbody(b, _):
+                r = idxs[0, b]
+                gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, 2 * B, gbody, 0)
+            gt = gth[:].T
+            ck_rows = gt[0:4]
+            cnts = []
+            if fat:
+                widx = rem >> 4
+                rem16 = rem & 15
+                w_sel = jnp.zeros((1, 2 * B), jnp.int32)
+                cum_sel = jnp.zeros((1, 2 * B), jnp.int32)
+                for w in range(8):
+                    is_w = widx == w
+                    w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
+                    cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
+                sh = 32 - 2 * rem16
+                mask_w = jnp.where(
+                    rem16 <= 0, 0,
+                    jax.lax.shift_left(jnp.full_like(sh, _FULL_I32),
+                                       jnp.clip(sh, 0, 31)))
+                for c in range(4):
+                    xc = w_sel ^ _PAT_I32[c]
+                    y = xc | lsr(xc, 1)
+                    match = (~y) & _EVEN_I32 & mask_w
+                    cnts.append((lsr(cum_sel, 8 * c) & 255)
+                                + jax.lax.population_count(match))
+            else:
+                cnts = [jnp.zeros((1, 2 * B), jnp.int32) for _ in range(4)]
+                for w in range(8):
+                    pw = jnp.clip(rem - 16 * w, 0, 16)
+                    sh = jnp.clip(32 - 2 * pw, 0, 31)
+                    mask_w = jnp.where(pw >= 16, _FULL_I32,
+                                       jax.lax.shift_left(
+                                           jnp.full_like(sh, _FULL_I32),
+                                           sh))
+                    mask_w = jnp.where(pw <= 0, 0, mask_w)
+                    x_w = gt[4 + w:5 + w]
+                    for c in range(4):
+                        xc = x_w ^ _PAT_I32[c]
+                        y = xc | lsr(xc, 1)
+                        match = (~y) & _EVEN_I32 & mask_w
+                        cnts[c] = cnts[c] + jax.lax.population_count(match)
+            occr = jnp.concatenate(
+                [ck_rows[c:c + 1] + cnts[c] for c in range(4)], axis=0)
+            L2r_ = [jnp.where(sel == 0, L2F[c], L2R[c]) for c in range(4)]
+            return occr[:, :B], occr[:, B:], L2r_
+
+        def exact_step(cnt_k4_, cnt_l4_, L2row_, cc):
+            """One bwt_match_exact_alt interval update for char cc."""
+            ccl = jnp.clip(cc, 0, 3)
+            L2c = jnp.zeros_like(ccl)
+            occk_c = jnp.zeros_like(ccl)
+            occl_c = jnp.zeros_like(ccl)
+            for c in range(4):
+                is_c = ccl == c
+                L2c = jnp.where(is_c, L2row_[c], L2c)
+                occk_c = jnp.where(is_c, cnt_k4_[c:c + 1], occk_c)
+                occl_c = jnp.where(is_c, cnt_l4_[c:c + 1], occl_c)
+            return L2c + occk_c + 1, L2c + occl_c
+
         # ---- shared rank queries (bwt_2occ4 via packed table) ----
         ck_k = jnp.where(work_chain, ch[0:1], k)
         ck_l = jnp.where(work_chain, ch[1:2], l)
         cur_a = jnp.where(work_chain, ch[3:4], a)
         sel = 1 - cur_a
-        qq = jnp.concatenate([ck_k - 1, ck_l], axis=1)
-        ss = jnp.concatenate([sel, sel], axis=1)
-        kk = qq + 1
-        prim = jnp.where(ss == 0, P0, P1)
-        kp = kk - i32(kk > prim)
-        kp = jnp.clip(kp, 0, n)
-        blk = kp >> 7
-        rem = kp - (blk << 7)
-        idxv[:] = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
-        cp = pltpu.make_async_copy(idxv, idxs, sem_g)
-        cp.start()
-        cp.wait()
-
-        def gbody(b, _):
-            r = idxs[0, b]
-            gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
-            return 0
-
-        jax.lax.fori_loop(0, 2 * B, gbody, 0)
-        gt = gth[:].T
-        ck_rows = gt[0:4]
-        cnts = []
-        if fat:
-            widx = rem >> 4
-            rem16 = rem & 15
-            w_sel = jnp.zeros((1, 2 * B), jnp.int32)
-            cum_sel = jnp.zeros((1, 2 * B), jnp.int32)
-            for w in range(8):
-                is_w = widx == w
-                w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
-                cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
-            sh = 32 - 2 * rem16
-            mask_w = jnp.where(
-                rem16 <= 0, 0,
-                jax.lax.shift_left(jnp.full_like(sh, _FULL_I32),
-                                   jnp.clip(sh, 0, 31)))
-            for c in range(4):
-                xc = w_sel ^ _PAT_I32[c]
-                y = xc | lsr(xc, 1)
-                match = (~y) & _EVEN_I32 & mask_w
-                cnts.append((lsr(cum_sel, 8 * c) & 255)
-                            + jax.lax.population_count(match))
-        else:
-            cnts = [jnp.zeros((1, 2 * B), jnp.int32) for _ in range(4)]
-            for w in range(8):
-                pw = jnp.clip(rem - 16 * w, 0, 16)
-                sh = jnp.clip(32 - 2 * pw, 0, 31)
-                mask_w = jnp.where(pw >= 16, _FULL_I32,
-                                   jax.lax.shift_left(
-                                       jnp.full_like(sh, _FULL_I32), sh))
-                mask_w = jnp.where(pw <= 0, 0, mask_w)
-                x_w = gt[4 + w:5 + w]
-                for c in range(4):
-                    xc = x_w ^ _PAT_I32[c]
-                    y = xc | lsr(xc, 1)
-                    match = (~y) & _EVEN_I32 & mask_w
-                    cnts[c] = cnts[c] + jax.lax.population_count(match)
-        occr = jnp.concatenate(
-            [ck_rows[c:c + 1] + cnts[c] for c in range(4)], axis=0)
-        cnt_k4 = occr[:, :B]
-        cnt_l4 = occr[:, B:]
-        L2row = [jnp.where(sel == 0, L2F[c], L2R[c]) for c in range(4)]
+        cnt_k4, cnt_l4, L2row = rank4(ck_k, ck_l, sel)
 
         # ---- chain step (bwt_match_exact_alt) ----
         chainish = work_chain | start_chain
@@ -939,17 +992,7 @@ def _resident_kernel(params, tab, consts, out_seed,
         ci = jnp.clip(ch_i - 1, 0, L - 1)
         cc = oh_get(seqs, cur_a * L + ci)
         si = oh_get(seqs, a * L + jnp.clip(i2, 0, L - 1))
-        ccl = jnp.clip(cc, 0, 3)
-        L2c = jnp.zeros_like(ccl)
-        occk_c = jnp.zeros_like(ccl)
-        occl_c = jnp.zeros_like(ccl)
-        for c in range(4):
-            is_c = ccl == c
-            L2c = jnp.where(is_c, L2row[c], L2c)
-            occk_c = jnp.where(is_c, cnt_k4[c:c + 1], occk_c)
-            occl_c = jnp.where(is_c, cnt_l4[c:c + 1], occl_c)
-        nk = L2c + occk_c + 1
-        nl = L2c + occl_c
+        nk, nl = exact_step(cnt_k4, cnt_l4, L2row, cc)
         ch_dead = chainish & ((cc > 3) | (nk > nl))
         ch_hit = chainish & ~ch_dead & (ch_i - 1 == 0)
         ch_cont = chainish & ~ch_dead & ~ch_hit
@@ -960,6 +1003,29 @@ def _resident_kernel(params, tab, consts, out_seed,
              jnp.where(start_chain, n_gape, ch[6:7]),
              jnp.where(start_chain, ldp, ch[7:8])], axis=0)
         ch = jnp.where(chainish, new_ch, ch)
+        # extra chain sub-steps: lanes still in the exact walk advance
+        # CH-1 more bases this iteration, each costing ONE rank-gather
+        # round -- the cheap part of this kernel (the pop/push one-hot
+        # passes over the (NP, B) pool planes are the expensive part,
+        # and chain lanes skip them entirely).  C runs the whole walk
+        # inline within a single pop (bwt.c match_exact_alt), so
+        # multi-stepping preserves C's per-lane order exactly.
+        for _ in range(CH - 1):
+            act = ch_cont
+            s_sel = 1 - ch[3:4]
+            s_k4, s_l4, s_L2 = rank4(ch[0:1], ch[1:2], s_sel)
+            s_cc = oh_get(seqs,
+                          ch[3:4] * L + jnp.clip(ch[2:3] - 1, 0, L - 1))
+            s_nk, s_nl = exact_step(s_k4, s_l4, s_L2, s_cc)
+            s_dead = act & ((s_cc > 3) | (s_nk > s_nl))
+            s_hit = act & ~s_dead & (ch[2:3] - 1 == 0)
+            adv = act & ~s_dead
+            ch = jnp.concatenate(
+                [jnp.where(adv, s_nk, ch[0:1]),
+                 jnp.where(adv, s_nl, ch[1:2]),
+                 jnp.where(adv, ch[2:3] - 1, ch[2:3]), ch[3:]], axis=0)
+            ch_hit = ch_hit | s_hit
+            ch_cont = act & ~s_dead & ~s_hit
         ch_on = ch_cont
 
         # ---- hits ----
@@ -1013,7 +1079,8 @@ def _resident_kernel(params, tab, consts, out_seed,
         wb1 = jnp.where(upd1, wb_new, wb1)
         aslot = jnp.clip(n_aln, 0, A_MAX - 1)
         add_m = do_add & (n_aln < A_MAX)
-        overflow = (srow(R_OVF) != 0) | (do_add & (n_aln >= A_MAX))
+        overflow = srow(R_OVF) | jnp.where(
+            do_add & (n_aln >= A_MAX), FB_AMAX, 0)
         al0 = oh_set(al0, aslot,
                      hmm | (hgo << 6) | (hge << 12) | (ha << 18)
                      | (score << 19), add_m)
@@ -1103,7 +1170,8 @@ def _resident_kernel(params, tab, consts, out_seed,
             bad_score = bad_score | (cvalid[c] & (cscore[c] >= NBUCK))
         no_room = total > free_top
         ovf = (bad_score | no_room) & expand
-        overflow = overflow | ovf
+        overflow = (overflow | jnp.where(bad_score & expand, FB_SCORE, 0)
+                    | jnp.where(no_room & expand, FB_POOL, 0))
         done = done | ovf
         cvalid = [v & ~ovf for v in cvalid]
         total = jnp.where(ovf, 0, total)
@@ -1147,7 +1215,7 @@ def _resident_kernel(params, tab, consts, out_seed,
 
         steps = srow(R_STEPS) + i32(~done)
         capped = ~done & (steps > step_cap)
-        overflow = overflow | capped
+        overflow = overflow | jnp.where(capped, FB_STEPCAP, 0)
         done = done | capped
 
         pk_r[:] = pk
@@ -1348,7 +1416,7 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
                     n_n_all, lens_all, md_all, use_seed_all, *,
                     B, NP, RF, NBP, n, s_mm, s_gapo, s_gape, max_gapo,
                     max_gape, indel_end_skip, max_del_occ, max_entries,
-                    max_top2, seed_len, max_seed_diff, step_cap):
+                    max_top2, seed_len, max_seed_diff, step_cap, CH=1):
     """One-pallas-call search over the whole chunk; returns the same
     (n_aln, alns, fallback, rounds, busy) tuple as the XLA while-loop in
     batch_search._search_kernel."""
@@ -1376,14 +1444,15 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
     consts = consts.at[:, 4, :L + 1].set(w0_all[:, 1, :, 0])
     consts = consts.at[:, 5, :L + 1].set(w0_all[:, 1, :, 1])
     consts = consts.at[:, 6, :sub6.shape[1]].set(sub6)
-    out_seed = jnp.zeros((N, 8, OSUB), jnp.int32).at[:, 3, 1].set(1)
+    out_seed = jnp.zeros((N, 8, OSUB), jnp.int32).at[:, 3, 1].set(
+        FB_NOFLUSH)
     params = jnp.concatenate(
         [primary.astype(jnp.int32).reshape(-1),
          L2.astype(jnp.int32).reshape(-1)])
     TABW = fmtab.shape[1]
     CAP = 1 << 14
     kern = functools.partial(
-        _resident_kernel, B=B, NP=NP, RF=RF, CAP=CAP, L=L, LW=LW,
+        _resident_kernel, B=B, NP=NP, RF=RF, CAP=CAP, CH=CH, L=L, LW=LW,
         SLW=SLW, SL=SL, NBP=NBP, N=N, n=n, s_mm=s_mm, s_gapo=s_gapo,
         s_gape=s_gape, max_gapo=max_gapo, max_gape=max_gape,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
@@ -1440,10 +1509,10 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
         interpret=interpret,
     )(params, fmtab, consts, out_seed)
     n_aln = out[:, 3, 0]
-    fb = out[:, 3, 1] != 0
+    fb = out[:, 3, 1]  # fallback-cause bits (0 = device result is final)
     alns = jnp.stack([out[:, 0, :A_MAX], out[:, 1, :A_MAX],
                       out[:, 2, :A_MAX]], axis=2)
-    n_aln = jnp.where(fb, 0, n_aln)
+    n_aln = jnp.where(fb != 0, 0, n_aln)
     rounds = stats[0, 0]  # flush rounds; caller's RF == its K_INNER
     busy = stats[0, 2]
     return n_aln, alns, fb, rounds, busy

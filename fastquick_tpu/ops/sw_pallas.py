@@ -9,19 +9,26 @@ one launch:
 - grid over batch tiles; each program holds a (TB, RL) block in VMEM with
   the 8-sublane x 128-lane VPU shape;
 - query rows processed with fori_loop; the horizontal (F) gap dependency
-  is resolved with a log-step prefix-max over G_k = H_k + k*gape
-  (the SWIPE "lazy-F" formulation, exact for affine gaps);
+  is resolved with log-step prefix scans (see below);
 - scoring matches aln_param_bwa / aln_sm_maq: match 11, mismatch -19,
   vs-N -13, gap open 26 + ext 9.
 
-Semantics note: the C code freezes its running F value across zero-score
-cells (stdaln.c:278-284 applies the F update only when the previous cell
-is positive) instead of decaying it; the prefix-max formulation uses the
-textbook affine-gap recurrence.  The two differ only when a horizontal
-gap would cross a dead (H==0) region -- score-irrelevant for accepted
-rescues -- and the exact host/native path remains the default; this
-kernel backs the optional device rescue scorer and the round-2 batched
-rescue pipeline.
+Freeze-F semantics (EXACT, round 4): the C code updates its running F
+only at cells whose left neighbor is positive (stdaln.c:278-284 -- `if
+(last_h > 0) f = max(f - r, last_h - qr)`), so F is FROZEN (not
+decayed, not applied) across zero-score runs.  The gated recurrence
+  f_k = gate_k ? max(f_{k-1} - r, h_{k-1} - qr) : f_{k-1}
+  h_k = max(hnf_k, gate_k ? f_k : -inf)          gate_k = h_{k-1} > 0
+is an affine max-plus scan given the gates: with a_k = gate_k ? -r : 0
+and b_k = gate_k ? h_{k-1} - qr : -inf,
+  f_k = A_k + max(0, max_{m<=k} (b_m - A_m)),   A = prefix-sum(a),
+two log-step lane scans.  The gates themselves depend on h, so the row
+iterates the scan to its (unique, acyclic-dependency) fixpoint -- the
+serial left-to-right values -- via a while_loop; rows converge in one
+or two passes except when an F-opened cell re-opens further gates.
+Host oracle: align/dp.aln_local_core forward_pass, itself differential-
+tested bit-exact against the compiled reference stdaln.c
+(tests/test_ref_differential.py::test_aln_local_matches_reference).
 """
 
 from __future__ import annotations
@@ -43,7 +50,7 @@ NEG = -(1 << 20)
 
 
 def _sw_kernel(ref_ref, query_ref, rlen_ref, qlen_ref, out_ref, h_scr, e_scr,
-               best_scr, *, RL: int, QL: int):
+               hrow_scr, best_scr, *, RL: int, QL: int):
     # zero state
     h_scr[:] = jnp.zeros((TB, RL), jnp.int32)
     e_scr[:] = jnp.zeros((TB, RL), jnp.int32)
@@ -64,6 +71,7 @@ def _sw_kernel(ref_ref, query_ref, rlen_ref, qlen_ref, out_ref, h_scr, e_scr,
                     keepdims=True)  # (TB, 1)
         h_prev = h_scr[:]
         e_prev = e_scr[:]
+        valid = ref_valid & (i < qlen)
         # score of aligning q (row i) against each ref column;
         # any N involved scores VS_N even when both are N (aln_sm_maq row 4)
         is_n = (q == 4) | (refs == 4)
@@ -75,27 +83,45 @@ def _sw_kernel(ref_ref, query_ref, rlen_ref, qlen_ref, out_ref, h_scr, e_scr,
         # vertical gap E from the previous row
         e_new = jnp.maximum(e_prev - GAP_EXT, h_prev - QR)
         e_new = jnp.maximum(e_new, 0)
-        hnf = jnp.maximum(base, e_new)
-        # lazy-F: F_j = max_{k<j} (hnf_k + k*gape) - qr - (j-1)*gape
-        g = hnf + lane * GAP_EXT
-        # log-step running max (inclusive), then shift to exclusive
-        def scan_step(s, gacc):
-            shifted = pltpu.roll(gacc, s, 1)
-            shifted = jnp.where(lane < s, NEG, shifted)
-            return jnp.maximum(gacc, shifted)
+        hnf = jnp.where(valid, jnp.maximum(base, e_new), 0)
+        # freeze-F fixpoint (see module docstring): iterate the gated
+        # affine max-plus scan until the row's h stabilizes at the
+        # serial left-to-right values of stdaln.c:278-284
+        hrow_scr[:] = hnf
 
-        gacc = g
-        s = 1
-        while s < RL:
-            gacc = scan_step(s, gacc)
-            s <<= 1
-        gex = pltpu.roll(gacc, 1, 1)
-        gex = jnp.where(lane == 0, NEG, gex)
-        f = gex - QR - (lane - 1) * GAP_EXT
-        h = jnp.maximum(hnf, jnp.maximum(f, 0))
-        h = jnp.where(ref_valid & (i < qlen), h, 0)
+        def fix_cond(chg):
+            return chg > 0
+
+        def fix_body(_chg):
+            h = hrow_scr[:]
+            h_left = pltpu.roll(h, 1, 1)
+            h_left = jnp.where(lane == 0, 0, h_left)
+            gate = h_left > 0
+            a = jnp.where(gate, -GAP_EXT, 0)
+            b = jnp.where(gate, h_left - QR, NEG)
+            # inclusive prefix-sum of a and prefix-max of (b - A)
+            acc_a = a
+            s = 1
+            while s < RL:
+                sh = pltpu.roll(acc_a, s, 1)
+                acc_a = acc_a + jnp.where(lane < s, 0, sh)
+                s <<= 1
+            v = b - acc_a
+            acc_m = v
+            s = 1
+            while s < RL:
+                sh = pltpu.roll(acc_m, s, 1)
+                acc_m = jnp.maximum(acc_m, jnp.where(lane < s, NEG, sh))
+                s <<= 1
+            f = acc_a + jnp.maximum(acc_m, 0)
+            h_new = jnp.where(gate & valid, jnp.maximum(hnf, f), hnf)
+            hrow_scr[:] = h_new
+            return jnp.sum((h_new != h).astype(jnp.int32))
+
+        jax.lax.while_loop(fix_cond, fix_body, jnp.int32(1))
+        h = hrow_scr[:]
         h_scr[:] = h
-        e_scr[:] = jnp.where(ref_valid & (i < qlen), e_new, 0)
+        e_scr[:] = jnp.where(valid, e_new, 0)
         # track best (strictly-greater update preserves C's first-max tie rule)
         row_best = jnp.max(h, axis=1, keepdims=True)  # (TB,1)
         # first-occurrence argmax (int argmax is unsupported in Mosaic):
@@ -156,6 +182,7 @@ def sw_forward_batch(refs, queries, rlens, qlens, RL: int, QL: int):
         scratch_shapes=[
             pltpu.VMEM((TB, RL), jnp.int32),
             pltpu.VMEM((TB, RL), jnp.int32),
+            pltpu.VMEM((TB, RL), jnp.int32),  # current-row fixpoint
             pltpu.VMEM((TB, 4), jnp.int32),
         ],
         interpret=interpret,  # CPU backend (tests) has no Mosaic
@@ -165,8 +192,10 @@ def sw_forward_batch(refs, queries, rlens, qlens, RL: int, QL: int):
 
 def sw_forward_reference(ref: np.ndarray, query: np.ndarray
                          ) -> tuple[int, int, int]:
-    """Numpy spec of the kernel (textbook affine local SW, same scoring).
-    Returns (score, end_i, end_j) 1-based."""
+    """Numpy spec of the kernel: the forward pass of aln_local_core
+    with the C freeze-F rule (stdaln.c:278-284; identical to
+    align/dp.aln_local_core's forward_pass).  Returns (score, end_i,
+    end_j) 1-based with end_i on the ref axis."""
     RL, QL = len(ref), len(query)
     h_prev = np.zeros(RL + 1, dtype=np.int64)
     e_prev = np.zeros(RL + 1, dtype=np.int64)
@@ -174,18 +203,22 @@ def sw_forward_reference(ref: np.ndarray, query: np.ndarray
     for i in range(1, QL + 1):
         h = np.zeros(RL + 1, dtype=np.int64)
         e = np.zeros(RL + 1, dtype=np.int64)
-        f = NEG
+        f = 0
         for j in range(1, RL + 1):
-            if ref[j - 1] == query[i - 1]:
-                m = MATCH if ref[j - 1] != 4 else VS_N
-            elif ref[j - 1] == 4 or query[i - 1] == 4:
+            if ref[j - 1] == 4 or query[i - 1] == 4:
                 m = VS_N
+            elif ref[j - 1] == query[i - 1]:
+                m = MATCH
             else:
                 m = MISMATCH
+            hv = max(h_prev[j - 1] + m, 0)
+            if h[j - 1] > 0:  # freeze-F: update/apply only past live cells
+                f = max(f - GAP_EXT, h[j - 1] - QR)
+                hv = max(hv, f)
             e[j] = max(e_prev[j] - GAP_EXT, h_prev[j] - QR, 0)
-            f = max(f - GAP_EXT, h[j - 1] - QR)
-            h[j] = max(h_prev[j - 1] + m, e[j], f, 0)
-            if h[j] > best[0]:
-                best = (int(h[j]), j, i)
+            hv = max(hv, e[j])
+            h[j] = hv
+            if hv > best[0]:
+                best = (int(hv), j, i)
         h_prev, e_prev = h, e
     return best

@@ -398,3 +398,29 @@ def test_match_gap_fuzz_10k(world):
         assert got == expect, f"read {i} (kind {i % 8})"
         n_hits += len(got)
     assert n_hits > n // 2  # sanity: the mix actually aligns
+
+
+def test_aln_local_matches_reference(world):
+    """aln_local_core (the mate-rescue local SW incl. the freeze-F
+    quirk, stdaln.c:529-745) bit-matches the compiled reference: score
+    and path endpoints on embedded/noisy/junk windows.  This is the
+    oracle the Pallas SW kernel (ops/sw_pallas) is pinned to."""
+    from fastquick_tpu.align.dp import aln_local_core
+
+    rng = np.random.default_rng(12)
+    for t in range(120):
+        RL = int(rng.integers(40, 700))
+        QL = int(rng.integers(20, 152))
+        ref = rng.integers(0, 4, RL).astype(np.uint8)
+        q = ref[int(rng.integers(0, max(1, RL - QL))):][:QL].copy()
+        for _ in range(rng.binomial(QL, 0.08)):
+            p = int(rng.integers(0, len(q)))
+            q[p] = (q[p] + rng.integers(1, 4)) % 4
+        if rng.random() < 0.2:
+            q = rng.integers(0, 5, QL).astype(np.uint8)
+        score_c, (b1, e1, b2, e2) = refbwa.aln_local(ref, q, 50)
+        score_p, path, _ = aln_local_core(ref, q, thres=1)
+        pc = ((path[-1][1], path[0][1], path[-1][2], path[0][2])
+              if path else (0, 0, 0, 0))
+        assert score_c == score_p, f"trial {t}: {score_c} vs {score_p}"
+        assert (b1, e1, b2, e2) == pc, f"trial {t}: {(b1, e1, b2, e2)} vs {pc}"

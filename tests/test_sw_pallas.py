@@ -62,21 +62,23 @@ def test_kernel_matches_spec(seed):
         assert got == want, f"case {b}: {got} vs {want}"
 
 
-def test_kernel_scores_match_c_oracle_mostly():
-    """Scores agree with the C-semantics forward pass (align/dp.py)
-    except in the F-freeze corner, which must be rare."""
+def test_kernel_matches_c_oracle_exactly():
+    """Forward pass agrees EXACTLY (score + end coords) with the
+    C-semantics oracle (align/dp.aln_local_core, itself bit-matched to
+    the compiled reference stdaln.c): the round-4 freeze-F fixpoint
+    removed the textbook-recurrence deviation (old PARITY.md #7)."""
     from fastquick_tpu.align.dp import aln_local_core
 
-    n = 24
-    refs, queries, rlens, qlens = _cases(7, n)
-    out = np.asarray(sw_forward_batch(
-        jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(rlens),
-        jnp.asarray(qlens), RL=RL, QL=QL))
-    agree = 0
-    for b in range(n):
-        score, _, _ = aln_local_core(refs[b, :rlens[b]].astype(np.uint8),
-                                     queries[b, :qlens[b]].astype(np.uint8),
-                                     thres=1)
-        if max(score, 0) == int(out[b, 0]):
-            agree += 1
-    assert agree >= n - 1, f"only {agree}/{n} scores agree with C oracle"
+    n = 48
+    for seed in (7, 8):
+        refs, queries, rlens, qlens = _cases(seed, n)
+        out = np.asarray(sw_forward_batch(
+            jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(rlens),
+            jnp.asarray(qlens), RL=RL, QL=QL))
+        for b in range(n):
+            score, _, (_, _, ei, ej) = aln_local_core(
+                refs[b, :rlens[b]].astype(np.uint8),
+                queries[b, :qlens[b]].astype(np.uint8), thres=1)
+            got = (int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
+            want = (max(score, 0), ei, ej) if score > 0 else (0, 0, 0)
+            assert got == want, f"seed {seed} case {b}: {got} vs {want}"

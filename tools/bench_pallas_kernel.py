@@ -61,7 +61,7 @@ def make_state(rng):
         ch=jnp.concatenate(
             [ri((B, 2), N_TEXT), ri((B, 1), L) + 1, ri((B, 1), 2),
              ri((B, 4), 40)], axis=1),
-        done=jnp.zeros(B, bool), overflow=jnp.zeros(B, bool),
+        done=jnp.zeros(B, bool), overflow=jnp.zeros(B, jnp.int32),
         steps=jnp.zeros(B, jnp.int32))
     return lane
 
