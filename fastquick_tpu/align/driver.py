@@ -652,6 +652,19 @@ def run_align(argv: list[str]) -> int:
         error("One of --fq_list / --fastq_1 is required")
 
     device_qc = pl["device_qc"]
+    engine_kind = pl["engine"]
+    if not device_qc and engine_kind == "auto":
+        # auto engine selection per backend (reference driver analog:
+        # bin/FASTQuick_template.sh:465-496 always runs its one CPU
+        # engine; here a HEALTHY accelerator engages the device path).
+        # The probe runs out-of-process with a timeout -- a wedged relay
+        # hangs even jax.devices() -- so a sick TPU host degrades to the
+        # native engine instead of hanging the align.
+        from ..utils.device import healthy_tpu
+
+        if healthy_tpu():
+            notice("Healthy accelerator found: engaging device QC path")
+            device_qc = True
     if device_qc:
         # product-grade resident mode: device k-mer filter + device
         # search engine + device dense-stat accumulation; pairing /
@@ -663,7 +676,6 @@ def run_align(argv: list[str]) -> int:
         notice("Resident-on-chip QC mode (device filter+search+stats)")
         collector.dense_device = DeviceDenseStats(idx, collector, opt)
 
-    engine_kind = pl["engine"]
     if device_qc:
         engine_kind = "tpu"
     elif engine_kind == "auto":

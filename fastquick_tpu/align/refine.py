@@ -16,8 +16,18 @@ Cigar = list[tuple[int, int]]  # [(op, len)] with FROM_* ops
 
 def refine_gapped_core(text: np.ndarray, length: int, seq: np.ndarray,
                        pos: int, ext: int) -> tuple[Cigar, int]:
-    """bwase.c:183-232 with is_end_correct == 1.  Returns (cigar, new_pos)."""
+    """bwase.c:183-232 with is_end_correct == 1.  Returns (cigar, new_pos).
+
+    NB: the C keeps ``__pos = *_pos`` (the pre-refine coordinate) and,
+    for ext < 0, adjusts it only by the net I-D shift of the cigar --
+    it does NOT rebase to the extracted window start (the window is
+    end-anchored at pos+len, so its start is pos - |ext|).  Round 4's
+    SAM differential vs the compiled reference caught this repo
+    rebasing to the window start, shifting forward-strand gapped reads
+    by |ext|; parity restored here."""
     l_pac = len(text)
+    if pos > l_pac:  # bwase.c:192 quirk: wrapped bwtint reinterpreted
+        pos = np.int64(np.int32(np.uint64(pos) & 0xFFFFFFFF))
     ref_len = length + abs(ext)
     if ext > 0:
         lo = pos
@@ -28,7 +38,7 @@ def refine_gapped_core(text: np.ndarray, length: int, seq: np.ndarray,
         hi = min(x, l_pac)
     ref_seq = text[lo:hi]
     cigar = global_cigar(ref_seq, seq[:length])
-    new_pos = lo
+    new_pos = pos
 
     if ext < 0:  # fix coordinate for forward-strand reads
         shift = 0

@@ -107,6 +107,10 @@ def get_lib():
     lib.rb_aln_local.restype = c.c_int32
     lib.rb_aln_local.argtypes = [c.c_void_p, c.c_int32, c.c_void_p,
                                  c.c_int32, c.c_int32] + [c.c_void_p] * 4
+    lib.rb_se_sam.restype = c.c_int32
+    lib.rb_se_sam.argtypes = [c.c_void_p, c.c_void_p, c.c_int32,
+                              c.c_int64, c.c_int32, c.c_int32] + \
+        [c.c_void_p] * 8 + [c.c_int32] * 3
     lib.rb_infer_isize.restype = c.c_int32
     lib.rb_infer_isize.argtypes = [c.c_int32] + [c.c_void_p] * 10 + \
         [c.c_double, c.c_int64, c.c_void_p]
@@ -189,6 +193,51 @@ class RefBwa:
             opt.max_entries, opt.max_top2, opt.seed_len,
             opt.max_seed_diff, _vp(n_aln))
         return int(total), n_aln
+
+    def se_sam(self, seed: int, seqs0: np.ndarray, seqs1: np.ndarray,
+               quals: np.ndarray, lens: np.ndarray, max_diffs: np.ndarray,
+               aln_list: list[np.ndarray], n_multi: int = 3,
+               mode: int = 3, max_top2: int = 30) -> list[str]:
+        """Drive the reference SE post-processing chain (aln2seq ->
+        cal_pac_pos -> refine_gapped incl. MD/NM -> print_sam1) over a
+        batch and return the SAM lines the actual C printed.  seqs0/
+        seqs1: (N, stride) padded reversed / revcomp codes; quals:
+        (N, stride) uint8 ASCII (phred+33); aln_list: per-read
+        rb_match_gap row arrays.  Reads print as r0..r{N-1}."""
+        import os
+        import tempfile
+
+        s0 = np.ascontiguousarray(seqs0, dtype=np.uint8)
+        s1 = np.ascontiguousarray(seqs1, dtype=np.uint8)
+        q = np.ascontiguousarray(quals, dtype=np.uint8)
+        ln = np.ascontiguousarray(lens, dtype=np.int32)
+        md = np.ascontiguousarray(max_diffs, dtype=np.int32)
+        cnt = np.array([len(a) for a in aln_list], dtype=np.int32)
+        off = np.zeros(len(aln_list), dtype=np.int32)
+        off[1:] = np.cumsum(cnt[:-1])
+        rows = (np.concatenate([np.asarray(a, np.int32).reshape(-1, 7)
+                                for a in aln_list])
+                if cnt.sum() else np.zeros((0, 7), np.int32))
+        rows = np.ascontiguousarray(rows)
+        # capture fd 1 (bwa_print_sam1 printf's to stdout)
+        import sys
+
+        sys.stdout.flush()
+        saved = os.dup(1)
+        with tempfile.TemporaryFile() as tf:
+            os.dup2(tf.fileno(), 1)
+            try:
+                self.lib.rb_se_sam(
+                    self.h, _vp(self._t), self.n, seed, len(ln),
+                    s0.shape[1], _vp(s0), _vp(s1), _vp(q), _vp(ln),
+                    _vp(md), _vp(off), _vp(cnt), _vp(rows), n_multi,
+                    mode, max_top2)
+            finally:
+                os.dup2(saved, 1)
+                os.close(saved)
+            tf.seek(0)
+            text = tf.read().decode()
+        return [l for l in text.splitlines() if l]
 
     def aln2seq(self, aln_rows: np.ndarray, seed: int, set_main: int,
                 n_multi: int, length: int, max_diff: int,

@@ -438,6 +438,107 @@ int32_t rb_aln_local(const uint8_t *ref, int32_t ref_len,
     return score;
 }
 
+/* Full SE SAM differential: drive the reference's own post-processing
+ * chain on a batch -- bwa_aln2seq_core (one srand48(seed) stream across
+ * the whole batch, as BwtMapper seeds once per mapper), the
+ * bwa_cal_pac_pos position/mapQ resolution (bwase.c:150-178, both BWTs
+ * resident), bwa_refine_gapped incl. bwa_cal_md1 + bwa_correct_trimmed
+ * (bwase.c:339-417), then bwa_print_sam1 (bwase.c:455) to stdout.  The
+ * Python caller captures fd 1 and diffs each SAM line's fields against
+ * the rebuilt pipeline.
+ *
+ * seqs/rseqs: stride-padded reversed / revcomp codes; quals: ASCII
+ * phred+33 stride-padded; aln_rows as in rb_match_gap output. */
+int32_t rb_se_sam(void *vh, const uint8_t *text, int32_t n, int64_t seed,
+                  int32_t n_seqs, int32_t stride, const uint8_t *seqs,
+                  const uint8_t *rseqs, const char *quals,
+                  const int32_t *lens, const int32_t *max_diffs,
+                  const int32_t *aln_off, const int32_t *aln_cnt,
+                  const int32_t *aln_rows, int32_t n_multi, int32_t mode,
+                  int32_t max_top2)
+{
+    rb_handle *h = (rb_handle *)vh;
+    bntseq_t *bns = (bntseq_t *)calloc(1, sizeof(bntseq_t));
+    ubyte_t *pacseq = (ubyte_t *)calloc((size_t)n / 4 + 1, 1);
+    bwa_seq_t *ss = (bwa_seq_t *)calloc((size_t)n_seqs, sizeof(bwa_seq_t));
+    int64_t i;
+    int r, j;
+
+    for (i = 0; i < n; ++i)
+        pacseq[i >> 2] |= (ubyte_t)(text[i] << ((~i & 3) << 1));
+    bns->l_pac = n;
+    bns->n_seqs = 1;
+    bns->anns = (bntann1_t *)calloc(1, sizeof(bntann1_t));
+    bns->anns[0].name = strdup("ref");
+    bns->anns[0].offset = 0;
+    bns->anns[0].len = n;
+    bns->n_holes = 0;
+    bns->ambs = 0;
+
+    srand48((long)seed);
+    for (r = 0; r < n_seqs; ++r) {
+        bwa_seq_t *s = ss + r;
+        int len = lens[r], cnt = aln_cnt[r];
+        const int32_t *rows = aln_rows + (size_t)aln_off[r] * 7;
+        bwt_aln1_t *aln =
+            (bwt_aln1_t *)calloc(cnt > 0 ? cnt : 1, sizeof(bwt_aln1_t));
+        s->name = (char *)malloc(16);
+        sprintf(s->name, "r%d", r);
+        s->len = s->full_len = s->clip_len = len;
+        s->seq = (ubyte_t *)malloc((size_t)len);
+        s->rseq = (ubyte_t *)malloc((size_t)len);
+        memcpy(s->seq, seqs + (size_t)r * stride, (size_t)len);
+        memcpy(s->rseq, rseqs + (size_t)r * stride, (size_t)len);
+        s->qual = (ubyte_t *)calloc((size_t)len + 1, 1);
+        memcpy(s->qual, quals + (size_t)r * stride, (size_t)len);
+        for (j = 0; j < cnt; ++j) {
+            aln[j].n_mm = rows[j * 7 + 0];
+            aln[j].n_gapo = rows[j * 7 + 1];
+            aln[j].n_gape = rows[j * 7 + 2];
+            aln[j].a = rows[j * 7 + 3];
+            aln[j].k = (bwtint_t)rows[j * 7 + 4];
+            aln[j].l = (bwtint_t)rows[j * 7 + 5];
+            aln[j].score = rows[j * 7 + 6];
+        }
+        bwa_aln2seq_core(cnt, aln, s, 1, n_multi);
+        free(aln);
+    }
+    /* bwa_cal_pac_pos with both BWTs resident (bwase.c:150-178) */
+    for (r = 0; r < n_seqs; ++r) {
+        bwa_seq_t *s = ss + r;
+        bwa_cal_pac_pos_core(h->bwt[0], h->bwt[1], s, max_diffs[r], 0.0f);
+        for (j = 0; j < s->n_multi; ++j) {
+            bwt_multi1_t *q = s->multi + j;
+            if (q->strand)
+                q->pos = bwt_sa(h->bwt[0], q->pos);
+            else
+                q->pos = h->bwt[1]->seq_len
+                         - (bwt_sa(h->bwt[1], q->pos) + s->len);
+        }
+    }
+    free(bwa_refine_gapped(bns, n_seqs, ss, pacseq, 0));
+    for (r = 0; r < n_seqs; ++r)
+        bwa_print_sam1(bns, ss + r, 0, mode, max_top2);
+    fflush(stdout);
+
+    for (r = 0; r < n_seqs; ++r) {
+        bwa_seq_t *s = ss + r;
+        free(s->name);
+        free(s->seq);
+        free(s->rseq);
+        free(s->qual);
+        free(s->md);
+        free(s->cigar);
+        for (j = 0; j < s->n_multi; ++j) free(s->multi[j].cigar);
+        free(s->multi);
+    }
+    free(ss);
+    free(bns->anns[0].name);
+    free(bns->anns);
+    free(bns);
+    return 0;
+}
+
 /* infer_isize differential (libbwa/bwape.c:49).  For n pairs, takes
  * pos/strand/len/mapQ/type arrays per end and runs the reference's
  * quartile + Bayesian-high-bound estimator.  Outputs

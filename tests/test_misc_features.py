@@ -195,3 +195,21 @@ def test_ancestry_step_alias(tmp_path):
     assert rc == 0
     assert os.path.exists(str(out) + ".Ancestry")
     assert os.path.exists(str(out) + ".FinalReport.html")
+
+
+def test_healthy_tpu_probe_cpu_host():
+    """Auto engine selection: the out-of-process accelerator probe
+    reports False on a CPU-only host (and under FQ_NO_TPU=1), so plain
+    `align` keeps the native/host engine here (VERDICT r03 #9)."""
+    import os
+
+    from fastquick_tpu.utils.device import healthy_tpu
+
+    os.environ["FQ_NO_TPU"] = "1"
+    try:
+        assert healthy_tpu(use_cache=False) is False
+    finally:
+        del os.environ["FQ_NO_TPU"]
+    # conftest pins JAX_PLATFORMS=cpu -> the probe subprocess sees a
+    # cpu backend and must report unhealthy
+    assert healthy_tpu(timeout=120.0, use_cache=False) is False

@@ -424,3 +424,121 @@ def test_aln_local_matches_reference(world):
               if path else (0, 0, 0, 0))
         assert score_c == score_p, f"trial {t}: {score_c} vs {score_p}"
         assert (b1, e1, b2, e2) == pc, f"trial {t}: {(b1, e1, b2, e2)} vs {pc}"
+
+
+def test_se_sam_fields_vs_reference(world):
+    """VERDICT r03 #8: per-read SAM fields (flag/pos/mapQ/CIGAR/NM/MD/
+    X0/X1/XM/XO/XG/XT/XA) vs the ACTUAL compiled reference driving its
+    own bwa_aln2seq_core -> bwa_cal_pac_pos -> bwa_refine_gapped ->
+    bwa_print_sam1 chain (libbwa/bwase.c:19-581) over a randomized
+    batch, sharing one srand48(11) stream across the batch exactly as
+    BwtMapper seeds per mapper."""
+    text, rb, idx = world
+    from fastquick_tpu.align.core import (
+        BWA_TYPE_NO_MATCH,
+        BWA_TYPE_REPEAT,
+        BWA_TYPE_UNIQUE,
+        bwa_aln2seq_core,
+        bwa_approx_mapQ,
+    )
+    from fastquick_tpu.align.engine import HostEngine
+    from fastquick_tpu.align.pe import sa_pos
+    from fastquick_tpu.align.rand import Rand48
+    from fastquick_tpu.align.refine import (
+        bwa_cal_md1_batch,
+        bwa_correct_trimmed,
+        cigar_string,
+        refine_gapped_core,
+    )
+
+    opt = GapOpt()
+    n = 96
+    seed = 11
+    all_codes = synth_reads(text, n, seed=31)
+    reads = [make_read(c) for c in all_codes]
+    HostEngine(idx).align_batch(reads, opt)
+
+    # ---- reference side: pack the batch for the shim ----
+    stride = max(p.len for p in reads)
+    s0 = np.zeros((n, stride), np.uint8)
+    s1 = np.zeros((n, stride), np.uint8)
+    qs = np.full((n, stride), 70, np.uint8)  # 'F'
+    lens = np.array([p.len for p in reads], np.int32)
+    mds = np.array([bwa_cal_maxdiff(p.len, thres=opt.fnr) for p in reads],
+                   np.int32)
+    aln_list = []
+    for i, p in enumerate(reads):
+        s0[i, :p.len] = p.seq[:p.len]
+        s1[i, :p.len] = p.rseq[:p.len]
+        aln_list.append(np.array(
+            [(a.n_mm, a.n_gapo, a.n_gape, a.a, a.k, a.l, a.score)
+             for a in p.aln], np.int32).reshape(-1, 7))
+    c_lines = rb.se_sam(seed, s0, s1, qs, lens, mds, aln_list,
+                        n_multi=3, mode=opt.mode, max_top2=opt.max_top2)
+    assert len(c_lines) == n
+
+    # ---- our side: the SE driver chain on the same batch ----
+    rng = Rand48(seed)
+    fms = (idx.fm_fwd, idx.fm_rev)
+    for p in reads:
+        bwa_aln2seq_core(p.aln, p, True, 3, rng)
+    for p in reads:
+        if p.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
+            md = bwa_cal_maxdiff(p.len, thres=opt.fnr)
+            p.pos = sa_pos(fms, p.strand, p.sa, p.len)
+            p.seQ = p.mapQ = bwa_approx_mapQ(p, md)
+            for q in p.multi:
+                q.pos = sa_pos(fms, q.strand, q.pos, p.len)
+    # bwa_refine_gapped (driver._refine_gapped flow)
+    for s in reads:
+        s.seq = np.concatenate([s.seq[: s.len][::-1], s.seq[s.len:]])
+        for q in s.multi:
+            if q.gap == 0:
+                continue
+            seq = s.rseq if q.strand else s.seq
+            ext = (1 if q.strand else -1) * q.gap
+            q.cigar, q.pos = refine_gapped_core(text, s.len, seq, q.pos,
+                                                ext)
+        if s.type != BWA_TYPE_NO_MATCH and s.n_gapo > 0:
+            seq = s.rseq if s.strand else s.seq
+            ext = (1 if s.strand else -1) * (s.n_gapo + s.n_gape)
+            s.cigar, s.pos = refine_gapped_core(text, s.len, seq, s.pos,
+                                                ext)
+    bwa_cal_md1_batch(
+        [(s, s.rseq if s.strand else s.seq) for s in reads
+         if s.type != BWA_TYPE_NO_MATCH], text)
+    for s in reads:
+        bwa_correct_trimmed(s)
+
+    # ---- field-by-field diff ----
+    for i, (line, p) in enumerate(zip(c_lines, reads)):
+        cols = line.split("\t")
+        tags = dict(t.split(":", 2)[::2] for t in cols[11:])
+        assert cols[0] == f"r{i}"
+        if p.type == BWA_TYPE_NO_MATCH:
+            assert int(cols[1]) == 4, f"read {i}: {line}"
+            assert cols[3] == "0" and cols[5] == "*"
+            continue
+        flag = 16 if p.strand else 0
+        assert int(cols[1]) == flag, f"read {i} flag: {line}"
+        assert int(cols[3]) == p.pos + 1, f"read {i} pos: {line}"
+        assert int(cols[4]) == p.mapQ, f"read {i} mapQ: {line}"
+        assert cols[5] == cigar_string(p.cigar, p.len), \
+            f"read {i} cigar: {line}"
+        assert int(tags["NM"]) == p.nm, f"read {i} NM: {line}"
+        assert tags["MD"] == p.md, f"read {i} MD: {line}"
+        assert tags["XT"] == "NURM"[p.type], f"read {i} XT: {line}"
+        assert int(tags["X0"]) == p.c1, f"read {i} X0: {line}"
+        if p.c1 <= opt.max_top2:
+            assert int(tags["X1"]) == p.c2, f"read {i} X1: {line}"
+        assert int(tags["XM"]) == p.n_mm and int(tags["XO"]) == p.n_gapo
+        assert int(tags["XG"]) == p.n_gapo + p.n_gape
+        if p.multi:
+            xa = "".join(
+                f"1:1000@A/C,{'-' if q.strand else '+'}{q.pos + 1},"
+                f"{cigar_string(q.cigar, p.len)},{q.gap + q.mm};"
+                for q in p.multi)
+            xa = xa.replace("1:1000@A/C", "ref")
+            assert tags.get("XA") == xa, f"read {i} XA: {line}"
+        else:
+            assert "XA" not in tags, f"read {i}: {line}"
