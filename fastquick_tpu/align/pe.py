@@ -339,10 +339,37 @@ def expand_seq(p: Read, q: Read, mode: int) -> None:
 
 def _batch_local_sw(text: np.ndarray, todo: list) -> dict:
     """Run every precheck-passing mate-rescue SW window through the
-    threaded native sw_local_batch.  Returns {(pair_idx, k): (score,
-    cigar, coords)}; empty dict when the native lib is unavailable
-    (bwa_sw_core then computes each job itself)."""
+    threaded native sw_local_batch -- or, with FQ_DEVICE_SW=1, through
+    the Pallas SW kernel (ops/sw_pallas.sw_local_batch_device: fwd+rev
+    DP passes on device with the exact freeze-F recurrence, host global
+    path), which is pinned result-identical to the native/host path.
+    Returns {(pair_idx, k): (score, cigar, coords)}; empty dict when
+    neither fast path is available (bwa_sw_core then computes each job
+    itself)."""
+    import os as _os_env
+
     from ..native import get_sw_lib
+
+    if _os_env.environ.get("FQ_DEVICE_SW", "0") == "1" and todo:
+        from ..ops.sw_pallas import sw_local_batch_device
+
+        l_pac = len(text)
+        keys = []
+        jobs = []
+        for idx, (p, pjobs) in enumerate(todo):
+            for k in (0, 1):
+                if pjobs[k] is None:
+                    continue
+                a, b, seq = pjobs[k]
+                length = p[k].len
+                if not _sw_precheck(text, length, seq, a, b - a):
+                    continue
+                keys.append((idx, k))
+                jobs.append((np.ascontiguousarray(
+                    text[a:min(b, l_pac)], dtype=np.uint8),
+                    np.ascontiguousarray(seq[:length], dtype=np.uint8)))
+        res = sw_local_batch_device(jobs)
+        return {key: res[i] for i, key in enumerate(keys)}
 
     lib = get_sw_lib()
     if lib is None or not todo:

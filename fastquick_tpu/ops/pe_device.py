@@ -586,7 +586,13 @@ def pair_status(tables_cid, contig_off, contig_len, n_text: int,
                                           & (off_q + len_q
                                              >= q_pos + q_len),
                                           q_pos + q_len - off_q, -1), -1))
-    return dict(status=status, actual=actual, isize_dist=isize_dist,
+    # the reported row `actual` is -1 outside the both-mapped
+    # PropPair/PartialPair branch (single-end and NotPair/LowQual rows
+    # print -1, StatCollector.cpp:685-721); the histogram above keeps
+    # its own take_actual gating
+    actual_row = jnp.where(both & ~not_fr & ~diff_contig & ~low_q,
+                           actual, -1)
+    return dict(status=status, actual=actual_row, isize_dist=isize_dist,
                 dup_keys=dup_keys, n_pair_reads=n_pair_reads,
                 status_counts=st_counts,
                 mi=jnp.where(both, max_i, mi_s),

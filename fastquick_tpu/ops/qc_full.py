@@ -25,9 +25,11 @@ exact psum -- see parallel/mesh.make_sharded_qc_full_step):
 
 Semantics notes (device-path contract, differentially tested against the
 host oracle where they overlap):
-  - hit selection is deterministic (first best hit, interval offset 0)
-    instead of the oracle's drand48 reservoir draw; c1/c2/mapQ match the
-    oracle exactly because they depend only on class widths.
+  - hit selection runs the reference's drand48 reservoir draw on device
+    when opt_args["drand48"] is set (ops/drand48_device, exact stream;
+    tests/test_drand48_qc.py pins host-identical rows on a repeat-heavy
+    world); without the flag it is deterministic first-best-hit.
+    c1/c2/mapQ depend only on class widths either way.
   - only ungapped primary hits feed the per-base accumulators (gapped
     hits are counted in n_gapped; the production driver routes those
     reads through the host refine path).
@@ -196,12 +198,14 @@ def ragged_unreverse(arr: jax.Array, lens: jax.Array,
     return jnp.where(idx >= 0, out, fill)
 
 
-def se_select(n_aln, alns):
-    """Deterministic SE selection from the kernel's ordered hit list
-    (packed rows [mm|go<<6|ge<<12|a<<18|score<<19, k, l]): best class
-    widths -> (mapped, strand, row, c1, c2, n_mm, n_gapo, n_gape).
-    c1/c2 match bwa_aln2seq_core; the within-class pick is the first
-    best hit at interval offset 0 (the oracle draws by drand48)."""
+def se_select(n_aln, alns, draw=None):
+    """SE selection from the kernel's ordered hit list (packed rows
+    [mm|go<<6|ge<<12|a<<18|score<<19, k, l]): best class widths ->
+    (mapped, strand, row, c1, c2, n_mm, n_gapo, n_gape).  c1/c2 match
+    bwa_aln2seq_core.  The within-class pick is the reference's
+    drand48 reservoir draw when `draw` = (f0_sel, row_sel) from
+    ops/drand48_device.aln2seq_draw_scan is given; otherwise the
+    deterministic first best hit at interval offset 0."""
     B = n_aln.shape[0]
     used = jnp.arange(A_MAX)[None, :] < n_aln[:, None]  # (B, A_MAX)
     score = (alns[:, :, 0] >> 19) & 127
@@ -211,10 +215,13 @@ def se_select(n_aln, alns):
     c1 = jnp.where(in_best, width, 0).sum(axis=1)
     c2 = jnp.where(used & ~in_best, width, 0).sum(axis=1)
     mapped = n_aln > 0
-    first = alns[:, 0]  # hits are recorded best-score-first
-    return (mapped, (first[:, 0] >> 18) & 1, first[:, 1], c1, c2,
-            first[:, 0] & 63, (first[:, 0] >> 6) & 63,
-            (first[:, 0] >> 12) & 63)
+    if draw is not None:
+        f0, row = draw
+    else:
+        first = alns[:, 0]  # hits are recorded best-score-first
+        f0, row = first[:, 0], first[:, 1]
+    return (mapped, (f0 >> 18) & 1, row, c1, c2,
+            f0 & 63, (f0 >> 6) & 63, (f0 >> 12) & 63)
 
 
 def _pileup_ranks(mk_flat: jax.Array, valid: jax.Array):
@@ -243,6 +250,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  return_per_read: bool = False,
                  pair_mode: bool = False,
                  last_ii: jax.Array | None = None,
+                 last_drand: jax.Array | None = None,
                  axis_names: tuple = ()):
     """One shard's full QC step (traceable; runs inside shard_map).
 
@@ -286,8 +294,41 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         max_seed_diff=int(opt_args.get("max_seed_diff", 2)),
         n_text=n_text)
 
+    draw = None
+    drand_state = None
+    if opt_args.get("drand48", False):
+        # reference drand48 reservoir selection (bwase.c:19-44): one
+        # global stream in read order.  On a mesh every shard gathers
+        # the batch's hit lists, runs the identical sequential scan and
+        # slices its own rows -- bitwise mesh == single.
+        from .drand48_device import aln2seq_draw_scan, seed_state
+
+        if last_drand is None:
+            state0 = jnp.asarray(seed_state(
+                int(opt_args.get("drand_seed", 11))))
+        else:
+            state0 = last_drand
+        g_n, g_alns = n_aln, alns
+        for ax in axis_names:  # gather outermost-last: global row order
+            g_n = jax.lax.all_gather(g_n, ax)
+            g_alns = jax.lax.all_gather(g_alns, ax)
+        g_n = g_n.reshape(-1)
+        g_alns = g_alns.reshape(-1, A_MAX, 3)
+        f0g, rowg, drand_state = aln2seq_draw_scan(g_n, g_alns, state0,
+                                                   A_MAX=A_MAX)
+        if axis_names:
+            rank = jnp.int32(0)
+            for ax in axis_names[::-1]:
+                rank = rank * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+            base = rank * B
+            f0 = jax.lax.dynamic_slice(f0g, (base,), (B,))
+            row_d = jax.lax.dynamic_slice(rowg, (base,), (B,))
+        else:
+            f0, row_d = f0g, rowg
+        draw = (f0, row_d)
+
     mapped, strand, row, c1, c2, n_mm, n_gapo, n_gape = se_select(
-        n_aln, alns)
+        n_aln, alns, draw=draw)
     mapped = mapped & kept & (fallback == 0)
     mapq = _approx_mapq(c1, c2, n_mm == md_of_len)
     # SA row -> pac pos (bwa_cal_pac_pos / pe.sa_pos): strand 1 reads the
@@ -481,6 +522,8 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "n_base_mapped": in_reg.astype(jnp.int32).sum(),
         "n_xy": n_xy,
     }
+    if drand_state is not None:
+        acc["_drand_state"] = drand_state  # stream continuation state
     acc.update(pair_acc)
     if not return_per_read:
         return acc

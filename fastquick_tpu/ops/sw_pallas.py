@@ -190,6 +190,78 @@ def sw_forward_batch(refs, queries, rlens, qlens, RL: int, QL: int):
     return out[:B]
 
 
+def sw_local_batch_device(jobs: list[tuple[np.ndarray, np.ndarray]],
+                          thres: int = 1) -> list:
+    """Full aln_local_core over a batch of (ref, query) jobs with the
+    DP passes on device: one forward kernel launch finds (score, end),
+    one reverse launch on the reversed matched prefixes finds the
+    start, then the (tiny) banded global path runs host-side exactly as
+    the C does (stdaln.c:529-745 structure; the global aligner is
+    align/dp.global_cigar).  Returns per job (score, cigar, (si, sj,
+    ei, ej, bi, bj)) -- the contract of align/dp.local_align, to which
+    this is differentially pinned (tests/test_sw_pallas.py)."""
+    import jax.numpy as jnp
+
+    from ..align.dp import global_cigar
+
+    n = len(jobs)
+    if n == 0:
+        return []
+    RL = max(-(-max(len(r) for r, _ in jobs) // 128) * 128, 128)
+    QL = max(-(-max(len(q) for _, q in jobs) // 128) * 128, 128)
+    refs = np.zeros((n, RL), np.int32)
+    qs = np.zeros((n, QL), np.int32)
+    rl = np.zeros(n, np.int32)
+    ql = np.zeros(n, np.int32)
+    for i, (r, q) in enumerate(jobs):
+        refs[i, :len(r)] = r
+        qs[i, :len(q)] = q
+        rl[i], ql[i] = len(r), len(q)
+    fwd = np.asarray(sw_forward_batch(
+        jnp.asarray(refs), jnp.asarray(qs), jnp.asarray(rl),
+        jnp.asarray(ql), RL=RL, QL=QL))
+    # reverse pass on reversed matched prefixes (only surviving jobs)
+    live = [i for i in range(n) if fwd[i, 0] >= thres and fwd[i, 1] > 0]
+    rr = np.zeros((len(live), RL), np.int32)
+    rq = np.zeros((len(live), QL), np.int32)
+    rrl = np.zeros(len(live), np.int32)
+    rql = np.zeros(len(live), np.int32)
+    for j, i in enumerate(live):
+        ei, ej = int(fwd[i, 1]), int(fwd[i, 2])
+        rr[j, :ei] = jobs[i][0][:ei][::-1]
+        rq[j, :ej] = jobs[i][1][:ej][::-1]
+        rrl[j], rql[j] = ei, ej
+    if live:
+        rev = np.asarray(sw_forward_batch(
+            jnp.asarray(rr), jnp.asarray(rq), jnp.asarray(rrl),
+            jnp.asarray(rql), RL=RL, QL=QL))
+    out = []
+    rev_of = {i: j for j, i in enumerate(live)}
+    for i in range(n):
+        score = int(fwd[i, 0])
+        if i not in rev_of:
+            out.append((score if score else -1, [],
+                        (0, 0, int(fwd[i, 1]), int(fwd[i, 2]), 0, 0)))
+            continue
+        j = rev_of[i]
+        ei, ej = int(fwd[i, 1]), int(fwd[i, 2])
+        si = ei - int(rev[j, 1]) + 1
+        sj = ej - int(rev[j, 2]) + 1
+        sub1 = jobs[i][0][si - 1:ei]
+        sub2 = jobs[i][1][sj - 1:ej]
+        cigar = global_cigar(np.asarray(sub1, np.uint8),
+                             np.asarray(sub2, np.uint8))
+        # begin cell of the global path (= local_align's bi/bj): the
+        # first step lands on (1,1) for M, (1,0) for D, (0,1) for I
+        from ..align.dp import FROM_D, FROM_I
+
+        op0 = cigar[0][0] if cigar else 0
+        bi = 0 if op0 == FROM_I else 1
+        bj = 0 if op0 == FROM_D else 1
+        out.append((score, cigar, (si, sj, ei, ej, bi, bj)))
+    return out
+
+
 def sw_forward_reference(ref: np.ndarray, query: np.ndarray
                          ) -> tuple[int, int, int]:
     """Numpy spec of the kernel: the forward pass of aln_local_core

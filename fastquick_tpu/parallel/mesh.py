@@ -156,6 +156,9 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
                            pileup_cap=pileup_cap, md_table=md_table,
                            pair_mode=pair_mode, last_ii=last_ii,
                            axis_names=tuple(reversed(axes)))
+        # drand48 stream state: computed from the gathered global scan,
+        # identical on every shard -- carry it around the psum untouched
+        dstate = out.pop("_drand_state", None)
         ii = None
         if pair_mode:
             # the isize info was inferred from the psum'd global
@@ -209,6 +212,8 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
             out["n_pcr_dup"] = count_pcr_dups(gkeys.reshape(-1, 3))
             out["_ii"] = ii
             out["_pair_rows"] = rows
+        if dstate is not None:
+            out["_drand_state"] = dstate
         return out
 
     shard_axes = axes if len(axes) > 1 else axes[0]

@@ -82,3 +82,44 @@ def test_kernel_matches_c_oracle_exactly():
             got = (int(out[b, 0]), int(out[b, 1]), int(out[b, 2]))
             want = (max(score, 0), ei, ej) if score > 0 else (0, 0, 0)
             assert got == want, f"seed {seed} case {b}: {got} vs {want}"
+
+
+def test_sw_local_batch_device_matches_local_align():
+    """The device mate-rescue batch (fwd+rev kernel passes + host
+    global path) returns exactly align/dp.local_align's (score, cigar,
+    coords) per job -- the contract bwa_sw_core consumes."""
+    from fastquick_tpu.align.dp import local_align
+    from fastquick_tpu.ops.sw_pallas import sw_local_batch_device
+
+    rng = np.random.default_rng(21)
+    jobs = []
+    for t in range(40):
+        rl = int(rng.integers(60, 500))
+        ql = int(rng.integers(20, 120))
+        ref = rng.integers(0, 4, rl).astype(np.uint8)
+        q = ref[int(rng.integers(0, max(1, rl - ql))):][:ql].copy()
+        kind = t % 5
+        if kind == 1:
+            for _ in range(rng.binomial(len(q), 0.06)):
+                p = int(rng.integers(0, len(q)))
+                q[p] = (q[p] + rng.integers(1, 4)) % 4
+        elif kind == 2:  # deletion
+            m = len(q) // 2
+            q = np.concatenate([q[:m], q[m + 2:]])
+        elif kind == 3:  # insertion
+            m = len(q) // 2
+            q = np.concatenate(
+                [q[:m], rng.integers(0, 4, 2).astype(np.uint8), q[m:]])
+        elif kind == 4:  # junk
+            q = rng.integers(0, 4, ql).astype(np.uint8)
+        jobs.append((ref, q))
+    got = sw_local_batch_device(jobs)
+    for i, (ref, q) in enumerate(jobs):
+        score, cigar, coords = local_align(ref, q, thres=1)
+        g_score, g_cigar, g_coords = got[i]
+        if score < 1 or not cigar:
+            assert not g_cigar, f"job {i}"
+            continue
+        assert g_score == score, f"job {i}: {g_score} vs {score}"
+        assert g_cigar == cigar, f"job {i}: {g_cigar} vs {cigar}"
+        assert g_coords == coords, f"job {i}: {g_coords} vs {coords}"
