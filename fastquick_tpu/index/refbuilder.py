@@ -353,9 +353,10 @@ class RefBuilder:
         for mk in self.ordered_markers():
             flank = (self.flank_long_len if mk.rec.id.endswith("L")
                      else self.flank_short_len)
-            # bed (pos-flank, pos+flank) interpreted by bcftools as
-            # 1-based [start+1, end]
-            regions.add(mk.chrom, mk.pos - flank, mk.pos + flank)
+            # bed (pos-flank, pos+flank) is interpreted by bcftools as
+            # 1-based [start+1, end]; RegionList is closed [s, e], so
+            # shift the start by one
+            regions.add(mk.chrom, mk.pos - flank + 1, mk.pos + flank)
         regions.collapse()
         out_path = self.new_ref + ".dbSNP.subset.vcf"
         n_kept = 0

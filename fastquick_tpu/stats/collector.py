@@ -285,7 +285,10 @@ class StatCollector:
 
             if not self.flank_region.collapsed:
                 self.flank_region.collapse()
-            s = DenseSites(self.flank_region.regions)
+            # RegionList holds CLOSED 1-based [s, e] (reference
+            # semantics); DenseSites wants half-open 0-based [s, e)
+            s = DenseSites({ch: [(s0 - 1, e0) for s0, e0 in ivs]
+                            for ch, ivs in self.flank_region.regions.items()})
             for chrom, segs in self.gc.items():
                 # positions = per-segment runs, built with one repeat
                 # instead of len(segs) aranges

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 INSERT_LIMIT = 4096
 SAM_FSR = 16
+# the C initializes every bin to this epsilon (InsertSizeEstimator.h:60
+# initEp), so unobserved bins carry a tiny nonzero adjusted density
+INIT_EP = 1e-6
 
 
 class InsertSizeEstimator:
@@ -19,8 +22,8 @@ class InsertSizeEstimator:
         self.re_init()
 
     def re_init(self):
-        self.mis_dist = [0.0] * INSERT_LIMIT
-        self.obs_dist = [0.0] * INSERT_LIMIT
+        self.mis_dist = [INIT_EP] * INSERT_LIMIT
+        self.obs_dist = [INIT_EP] * INSERT_LIMIT
         self.total_pair = 0
 
     def input_insert_size_table(self, path: str, orientation: str) -> None:

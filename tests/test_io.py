@@ -79,16 +79,37 @@ def test_normalize_chrom():
 
 
 def test_region_list(tmp_path):
+    """Reference RegionList semantics: CLOSED [start, end] intervals
+    (src/RegionList.cpp:48-117; the round-4 compiled-StatCollector
+    differential pinned these after catching the old half-open
+    convention losing every flank's left-edge site)."""
     bed = tmp_path / "r.bed"
     bed.write_text("chr1\t10\t20\n1\t15\t30\n2\t5\t8\n")
     rl = RegionList().read_region_list(str(bed))
-    assert rl.total_size() == 23  # [10,30) + [5,8)
-    assert rl.is_overlapped("1", 11)  # 1-based 11 -> 0-based 10
-    assert rl.is_overlapped("1", 30)  # 0-based 29 in [10,30)
+    assert rl.total_size() == 25  # [10,30] (21) + [5,8] (4)
+    assert rl.is_overlapped("1", 10)  # closed: start included
+    assert rl.is_overlapped("1", 30)  # closed: end included
     assert not rl.is_overlapped("1", 31)
-    assert not rl.is_overlapped("2", 5)  # 0-based 4 < 5
-    assert rl.is_overlapped("2", 6)
-    assert rl.overlap_len("1", 0, 100) == 20
+    assert rl.is_overlapped("2", 5)
+    assert rl.is_overlapped("2", 8)
+    assert not rl.is_overlapped("2", 9)
+    assert rl.overlap_len("1", 0, 100) == 21
+
+
+def test_region_list_c_quirks():
+    # AddRegion overwrites per start (last end wins, :74)
+    rl = RegionList()
+    rl.add("1", 5, 50)
+    rl.add("1", 5, 20)
+    rl.collapse()
+    assert rl.regions["1"] == [(5, 20)]
+    # Collapse: point-touching merges, gap-of-one stays separate
+    rl = RegionList()
+    rl.add("1", 0, 10)
+    rl.add("1", 10, 15)
+    rl.add("1", 17, 20)
+    rl.collapse()
+    assert rl.regions["1"] == [(0, 15), (17, 20)]
 
 
 def test_region_joins():
@@ -103,6 +124,12 @@ def test_region_joins():
     assert inner.regions["1"] == [(5, 10), (20, 25)]
     outer = a.join_outer(b)
     assert outer.regions["1"] == [(0, 30)]
+    # the intersection's strict comparisons drop single-point overlaps
+    # (Join :145-151 quirk): [0,10]&[20,30] vs [10,20] -> empty
+    c = RegionList()
+    c.add("1", 10, 20)
+    c.collapse()
+    assert not a.join_inner(c).regions.get("1")
 
 
 def test_gc_records_roundtrip(tmp_path):
