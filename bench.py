@@ -364,8 +364,19 @@ def main() -> int:
         print(json.dumps(out))
         return 0
     # default mode: also measure the on-chip device engine in a
-    # subprocess (a relay hang there cannot wedge the headline bench)
+    # subprocess (a relay hang there cannot wedge the headline bench).
+    # Probe first: a wedged relay hangs even jax.devices(), so without
+    # the probe a sick chip would burn the full subprocess timeout.
     if os.environ.get("FQ_BENCH_TPU_SUB", "1") == "1":
+        from fastquick_tpu.utils.device import healthy_tpu
+
+        if not healthy_tpu(timeout=60.0):
+            out["tpu_reads_per_sec"] = None
+            out["tpu_error"] = "no healthy accelerator (probe)"
+            print("# tpu probe failed: skipping device bench",
+                  file=sys.stderr)
+            print(json.dumps(out))
+            return 0
         import subprocess
 
         # 16384 reads amortize the ~115 ms fixed dispatch cost (the
