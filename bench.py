@@ -370,7 +370,7 @@ def main() -> int:
     if os.environ.get("FQ_BENCH_TPU_SUB", "1") == "1":
         from fastquick_tpu.utils.device import healthy_tpu
 
-        if not healthy_tpu(timeout=60.0):
+        if not healthy_tpu(timeout=300.0):
             out["tpu_reads_per_sec"] = None
             out["tpu_error"] = "no healthy accelerator (probe)"
             print("# tpu probe failed: skipping device bench",
@@ -379,10 +379,10 @@ def main() -> int:
             return 0
         import subprocess
 
-        # 16384 reads amortize the ~115 ms fixed dispatch cost (the
-        # measured D in time = D + iters*c) to <5% of the wall time
+        # 32768 reads amortize the ~115 ms fixed dispatch cost (the
+        # measured D in time = D + iters*c) to ~5% of the wall time
         env = dict(os.environ, FQ_BENCH_ENGINE="tpu",
-                   FQ_BENCH_READS="16384", FQ_BENCH_TPU_SUB="0",
+                   FQ_BENCH_READS="32768", FQ_BENCH_TPU_SUB="0",
                    FQ_BENCH_MEASURE_REF="0")
         try:
             r = subprocess.run(

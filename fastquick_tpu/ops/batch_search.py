@@ -76,10 +76,14 @@ MAX_READ_LEN = 8191
 
 # tunables (static; env-overridable for on-chip experiments)
 DEF_LANES = int(os.environ.get("FQ_BS_LANES", 1024))
-# pool=512 measured 5,668.6 reads/s on-chip vs 4,117.6 at 1024 (commit
-# cc42fca A/B): the full-pool one-hot push pass dominates traffic and
-# fallback stays cheap (~30ms host work at 25% fallback)
-DEF_POOL = int(os.environ.get("FQ_BS_POOL", 512))
+# Pool size.  Measured r4 on-chip (resident kernel, 16k reads): the
+# per-iteration cost is nearly pool-size-INSENSITIVE (the big passes
+# are gather/width/flush, not the pool planes), while the fallback
+# fraction has a cliff: 25% of reads need ~1000 slots (512 -> 25%
+# fallback, 1024 -> 3.6%).  The resident default is therefore 1024
+# (93%+ of reads finish on-device); the XLA op-stream path keeps 512
+# (its pool passes DO dominate, cc42fca A/B: 5,668 vs 4,117 reads/s).
+DEF_POOL = int(os.environ.get("FQ_BS_POOL", 0))  # 0 = per-kernel auto
 DEF_INNER = int(os.environ.get("FQ_BS_INNER", 32))
 # per-lane step cap: tail reads grind lanes alone (31% lane utilization
 # measured at a 64*L cap vs 69% at 768); capped reads fall back to the
@@ -200,7 +204,7 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
             max_entries=max_entries, max_top2=max_top2,
             seed_len=seed_len, max_seed_diff=max_seed_diff,
-            step_cap=step_cap, CH=CH_STEPS)
+            step_cap=step_cap, CH=CH_STEPS, ablate=ablate)
 
     # per-read outputs; hit rows are packed 3 int32 words (the device->
     # host result copy rides the same narrow link as the inputs)
@@ -800,6 +804,8 @@ class BatchEngine:
         if pallas == "scan" and self.chain != 1:
             pallas = False
         self.pallas = pallas
+        if not self.pool:  # per-kernel auto (see DEF_POOL note)
+            self.pool = 1024 if self.pallas == "resident" else 512
         self.fmtab = None
         self.nbp = 0
         if self.pallas:
@@ -914,7 +920,14 @@ class BatchEngine:
             jnp.asarray(md), jnp.asarray(use_seed),
             B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
             CH_STEPS=int(self.chain),
-            step_cap=int(self.step_cap or max(768, 3 * Lpad)), s_mm=opt.s_mm,
+            # auto step cap: the resident kernel refills lanes
+            # in-kernel, so a grinding read only wastes its own lane --
+            # a 4096 cap converts most stepcap fallbacks to device
+            # results at ~3% extra busy steps (r4 measurement); the XLA
+            # path keeps the tight cap (whole-batch rounds stall on it)
+            step_cap=int(self.step_cap
+                         or (max(1536, 6 * Lpad) if use_pallas == "resident"
+                             else max(768, 3 * Lpad))), s_mm=opt.s_mm,
             s_gapo=opt.s_gapo, s_gape=opt.s_gape, max_gapo=int(max_gapo),
             max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,
             max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,

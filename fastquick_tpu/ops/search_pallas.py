@@ -118,7 +118,8 @@ def resident_vmem_bytes(B: int, NP: int, L: int, SL: int, tabw: int,
     LW = -(-(L + 1) // 8) * 8
     SLW = -(-(SL + 1) // 8) * 8
     CSUB = consts_layout(L, SL)["CSUB"]
-    rows = (6 * NP + NBUCK + SCALROWS + 2 * 8 + 3 * A_MAX
+    # 4 pool planes + bitmap + one-NP compiler slack
+    rows = (5 * NP + NP // 32 + NBUCK + SCALROWS + 2 * 8 + 3 * A_MAX
             + 4 * LW + 2 * L + 4 * SLW)
     scratch = rows * B * 4
     scratch += B * 8 * CSUB * 4          # consts_v
@@ -769,7 +770,7 @@ OSUB = 128
 
 def _resident_kernel(params, tab, consts, out_seed,
                      out_hbm, stats,
-                     pk_r, pl_r, pai_r, pdiff_r, heads_r, freelist_r,
+                     pk_r, pl_r, pai_r, pdiff_r, heads_r, fbm_r,
                      scal_r, ch_r, al0_r, al1_r, al2_r,
                      ww0_r, wb0_r, ww1_r, wb1_r,
                      seqs2l, sww0_r, swb0_r, sww1_r, swb1_r,
@@ -779,9 +780,10 @@ def _resident_kernel(params, tab, consts, out_seed,
                      *, B, NP, RF, CAP, CH, L, LW, SLW, SL, NBP, N, n,
                      s_mm, s_gapo, s_gape, max_gapo, max_gape,
                      indel_end_skip, max_del_occ, max_entries, max_top2,
-                     seed_len, max_seed_diff, step_cap):
+                     seed_len, max_seed_diff, step_cap, ablate=()):
     CL = consts_layout(L, SL)
     fat = tab.shape[1] >= 24
+    NW = NP // 32  # free-slot bitmap words per lane
 
     def iota0(w, lanes=B):
         return jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
@@ -829,8 +831,7 @@ def _resident_kernel(params, tab, consts, out_seed,
         done = srow(R_DONE) != 0
         heads = heads_r[:]
         pk, pl_, pai, pdiff = pk_r[:], pl_r[:], pai_r[:], pdiff_r[:]
-        freelist = freelist_r[:]
-        free_top = srow(R_FREETOP)
+        fbm = fbm_r[:]  # free-slot bitmap, (NW, B): bit set = slot free
         n_entries = srow(R_NENT)
         ch_on, ch = srow(R_CHON) != 0, ch_r[:]
         ww0, wb0 = ww0_r[:], wb0_r[:]
@@ -864,9 +865,15 @@ def _resident_kernel(params, tab, consts, out_seed,
         nxt_f = (ai_w >> 16) & 0x7FFF
         nxt = jnp.where(nxt_f == NP, -1, nxt_f)
         heads = oh_set(heads, bucket_c, nxt, can_pop)
-        freelist = oh_set(freelist, jnp.clip(free_top, 0, NP - 1), slot_c,
-                          can_pop)
-        free_top = free_top + i32(can_pop)
+        # free the popped slot's bitmap bit.  Slot IDENTITY is internal
+        # (ids only thread the bucket linked lists), so any distinct-
+        # free-slot allocator preserves results; the bitmap replaces the
+        # old (NP, B) freelist plane and its ~11 full-pool one-hot
+        # passes per iteration with (NP/32, B)-sized work.
+        fbit = jax.lax.shift_left(jnp.ones((1, B), jnp.int32),
+                                  slot_c & 31)
+        fbm = jnp.where((iota0(NW) == (slot_c >> 5)) & can_pop,
+                        fbm | fbit, fbm)
         n_entries = n_entries - i32(can_pop)
 
         a = (ai_w >> 13) & 1
@@ -912,16 +919,17 @@ def _resident_kernel(params, tab, consts, out_seed,
             blk = kp >> 7
             rem = kp - (blk << 7)
             idxv[:] = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
-            cp = pltpu.make_async_copy(idxv, idxs, sem_g)
-            cp.start()
-            cp.wait()
+            if "nogather" not in ablate:  # profiling only: results wrong
+                cp = pltpu.make_async_copy(idxv, idxs, sem_g)
+                cp.start()
+                cp.wait()
 
-            def gbody(b, _):
-                r = idxs[0, b]
-                gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
-                return 0
+                def gbody(b, _):
+                    r = idxs[0, b]
+                    gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
+                    return 0
 
-            jax.lax.fori_loop(0, 2 * B, gbody, 0)
+                jax.lax.fori_loop(0, 2 * B, gbody, 0)
             gt = gth[:].T
             ck_rows = gt[0:4]
             cnts = []
@@ -1012,18 +1020,31 @@ def _resident_kernel(params, tab, consts, out_seed,
         # multi-stepping preserves C's per-lane order exactly.
         for _ in range(CH - 1):
             act = ch_cont
-            s_sel = 1 - ch[3:4]
-            s_k4, s_l4, s_L2 = rank4(ch[0:1], ch[1:2], s_sel)
-            s_cc = oh_get(seqs,
-                          ch[3:4] * L + jnp.clip(ch[2:3] - 1, 0, L - 1))
+            # canonicalize the ch row slices through a masked select:
+            # Mosaic keeps row-slice sublane offsets, and its
+            # concatenate/relayout cannot mix offsets (observed compile
+            # failure: "result/input offset mismatch on non-concat
+            # dimension"); the where against an offset-0 operand
+            # produces offset-0 values like the main pop path's
+            s_k = jnp.where(act, ch[0:1], 1)
+            s_l = jnp.where(act, ch[1:2], 0)
+            s_i = jnp.where(act, ch[2:3], 1)
+            s_a = jnp.where(act, ch[3:4], 0)
+            s_sel = 1 - s_a
+            s_k4, s_l4, s_L2 = rank4(s_k, s_l, s_sel)
+            s_cc = oh_get(seqs, s_a * L + jnp.clip(s_i - 1, 0, L - 1))
             s_nk, s_nl = exact_step(s_k4, s_l4, s_L2, s_cc)
             s_dead = act & ((s_cc > 3) | (s_nk > s_nl))
-            s_hit = act & ~s_dead & (ch[2:3] - 1 == 0)
+            s_hit = act & ~s_dead & (s_i - 1 == 0)
             adv = act & ~s_dead
-            ch = jnp.concatenate(
-                [jnp.where(adv, s_nk, ch[0:1]),
-                 jnp.where(adv, s_nl, ch[1:2]),
-                 jnp.where(adv, ch[2:3] - 1, ch[2:3]), ch[3:]], axis=0)
+            # update rows 0..2 in place via broadcast select (axis-0
+            # concatenate would again mix sublane offsets)
+            row_i = iota0(8)
+            newp = jnp.where(row_i == 0, s_nk,
+                             jnp.where(row_i == 1, s_nl,
+                                       jnp.where(row_i == 2, s_i - 1,
+                                                 ch)))
+            ch = jnp.where(adv & (row_i < 3), newp, ch)
             ch_hit = ch_hit | s_hit
             ch_cont = act & ~s_dead & ~s_hit
         ch_on = ch_cont
@@ -1055,24 +1076,26 @@ def _resident_kernel(params, tab, consts, out_seed,
                       axis=0, keepdims=True) > 0
         do_add = hit & ~((hgo > 0) & dup)
         # gap_shadow on the hit strand's width planes (bwtgap.c:81-91)
+        do_add_sh = (jnp.zeros_like(do_add) if "noshadow" in ablate
+                     else do_add)  # ablation: profiling only
         x = hl - hk + 1
         ha0 = ha == 0
         ww_a = jnp.where(ha0, ww0, ww1)
         wb_a = jnp.where(ha0, wb0, wb1)
-        in_rng = (iota0(LW) < hldp) & do_add
+        in_rng = (iota0(LW) < hldp) & do_add_sh
         eqx = (ww_a == x) & in_rng
         jcum = i32(eqx)
         srow_i = iota0(LW)
         sshift = 1
-        while sshift < LW:
+        while sshift < LW and "noshadow" not in ablate:
             jcum = jcum + jnp.where(srow_i < sshift, 0,
                                     pltpu.roll(jcum, sshift, 0))
             sshift <<= 1
         ww_new = jnp.where(in_rng & (ww_a > x), ww_a - x,
                            jnp.where(eqx, n - jcum, ww_a))
         wb_new = jnp.where(eqx, 1, wb_a)
-        upd0 = do_add & ha0
-        upd1 = do_add & ~ha0
+        upd0 = do_add_sh & ha0
+        upd1 = do_add_sh & ~ha0
         ww0 = jnp.where(upd0, ww_new, ww0)
         wb0 = jnp.where(upd0, wb_new, wb0)
         ww1 = jnp.where(upd1, ww_new, ww1)
@@ -1168,7 +1191,18 @@ def _resident_kernel(params, tab, consts, out_seed,
         for c in range(NCH):
             total = total + i32(cvalid[c])
             bad_score = bad_score | (cvalid[c] & (cscore[c] >= NBUCK))
-        no_room = total > free_top
+        # free-slot accounting from the bitmap: per-word popcounts +
+        # an inclusive prefix over the NW sublane rows
+        wcnt = jax.lax.population_count(fbm)  # (NW, B)
+        winc = wcnt
+        s = 1
+        while s < NW:
+            rolled = pltpu.roll(winc, s, 0)
+            winc = winc + jnp.where(iota0(NW) < s, 0, rolled)
+            s <<= 1
+        wpre = winc - wcnt  # exclusive prefix
+        free_total = jnp.max(winc, axis=0, keepdims=True)
+        no_room = total > free_total
         ovf = (bad_score | no_room) & expand
         overflow = (overflow | jnp.where(bad_score & expand, FB_SCORE, 0)
                     | jnp.where(no_room & expand, FB_POOL, 0))
@@ -1176,13 +1210,38 @@ def _resident_kernel(params, tab, consts, out_seed,
         cvalid = [v & ~ovf for v in cvalid]
         total = jnp.where(ovf, 0, total)
 
+        # allocate: child c takes the rank-th lowest free bit of the
+        # (pre-allocation) bitmap -- ranks are distinct, so slots are
+        # distinct; find the word by prefix bracket, then the k-th set
+        # bit inside it by halving popcounts
         slots = []
         rank = jnp.zeros((1, B), jnp.int32)
+        fbm0 = fbm  # ranks index the PRE-allocation bitmap: select from
+        # it (clears accumulate into fbm) or later children double-skip
         for c in range(NCH):
             rank = rank + i32(cvalid[c])
-            fidx = jnp.clip(free_top - rank, 0, NP - 1)
-            slots.append(oh_get(freelist, fidx))
-        free_top = free_top - total
+            t = jnp.maximum(rank - 1, 0)
+            hit = (wpre <= t) & (t < winc)  # (NW, B) one-hot row
+            w_c = jnp.sum(jnp.where(hit, fbm0, 0), axis=0, keepdims=True)
+            base_c = jnp.sum(jnp.where(hit, iota0(NW) * 32, 0), axis=0,
+                             keepdims=True)
+            k = t - jnp.sum(jnp.where(hit, wpre, 0), axis=0,
+                            keepdims=True)
+            pos = jnp.zeros((1, B), jnp.int32)
+            cur = w_c
+            for width in (16, 8, 4, 2, 1):
+                low = cur & ((1 << width) - 1)
+                clow = jax.lax.population_count(low)
+                go_hi = k >= clow
+                k = k - jnp.where(go_hi, clow, 0)
+                pos = pos + jnp.where(go_hi, width, 0)
+                cur = jnp.where(go_hi,
+                                jax.lax.shift_right_logical(
+                                    cur, jnp.full_like(cur, width)), low)
+            slot = base_c + pos
+            slots.append(slot)
+            cb = jax.lax.shift_left(jnp.ones((1, B), jnp.int32), pos)
+            fbm = jnp.where(hit & cvalid[c], fbm & ~cb, fbm)
         n_entries = n_entries + total
 
         sc_clip = [jnp.clip(s_, 0, NBUCK - 1) for s_ in cscore]
@@ -1202,7 +1261,7 @@ def _resident_kernel(params, tab, consts, out_seed,
 
         iota_np_ = iota0(NP)
         iota_nb = iota0(NBUCK)
-        for c in range(NCH):
+        for c in range(NCH) if "nopush" not in ablate else ():
             next_f = jnp.where(nexts[c] < 0, NP, nexts[c])
             cai_w = c_ai[c] | (next_f << 16)
             m_c = (iota_np_ == slots[c]) & cvalid[c]
@@ -1223,7 +1282,7 @@ def _resident_kernel(params, tab, consts, out_seed,
         pai_r[:] = pai
         pdiff_r[:] = pdiff
         heads_r[:] = heads
-        freelist_r[:] = freelist
+        fbm_r[:] = fbm
         ch_r[:] = ch
         al0_r[:] = al0
         al1_r[:] = al1
@@ -1232,7 +1291,6 @@ def _resident_kernel(params, tab, consts, out_seed,
         wb0_r[:] = wb0
         ww1_r[:] = ww1
         wb1_r[:] = wb1
-        scal_r[R_FREETOP:R_FREETOP + 1, :] = free_top
         scal_r[R_NENT:R_NENT + 1, :] = n_entries
         scal_r[R_BEST:R_BEST + 1, :] = best_score
         scal_r[R_BCNT:R_BCNT + 1, :] = best_cnt
@@ -1349,7 +1407,6 @@ def _resident_kernel(params, tab, consts, out_seed,
         upd(R_LENS, lens_n)
         upd(R_MD0, md_n)
         upd(R_USESEED, us_n)
-        upd(R_FREETOP, jnp.full((1, B), NP - 2, jnp.int32))
         upd(R_NENT, jnp.where(dead_n, 0, 2))
         upd(R_BEST, (md_n + 1) * s_mm + (max_gapo + 1) * s_gapo
             + (max_gape + 1) * s_gape)
@@ -1373,9 +1430,10 @@ def _resident_kernel(params, tab, consts, out_seed,
             jnp.where(rf & z1, lens_n | (1 << 13),
                       jnp.where(rf, 0, pai_r[:])))
         pdiff_r[:] = jnp.where(rf, 0, pdiff_r[:])
-        freelist_r[:] = jnp.where(
-            rf, jnp.broadcast_to(NP - 1 - iota_np_, (NP, B)),
-            freelist_r[:])
+        # bitmap reset: all slots free except the two seeded entries
+        fbm_r[:] = jnp.where(
+            rf, jnp.where(iota0(NW) == 0, jnp.int32(-4), jnp.int32(-1)),
+            fbm_r[:])
         iota_nb = iota0(NBUCK)
         heads_r[:] = jnp.where(
             rf & (iota_nb == 0), jnp.where(dead_n, -1, 1),
@@ -1416,10 +1474,12 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
                     n_n_all, lens_all, md_all, use_seed_all, *,
                     B, NP, RF, NBP, n, s_mm, s_gapo, s_gape, max_gapo,
                     max_gape, indel_end_skip, max_del_occ, max_entries,
-                    max_top2, seed_len, max_seed_diff, step_cap, CH=1):
+                    max_top2, seed_len, max_seed_diff, step_cap, CH=1,
+                    ablate=()):
     """One-pallas-call search over the whole chunk; returns the same
     (n_aln, alns, fallback, rounds, busy) tuple as the XLA while-loop in
     batch_search._search_kernel."""
+    assert NP % 32 == 0, "resident pool size must pack the free bitmap"
     N, _, L = seqs_all.shape
     SL = seed_len
     CL = consts_layout(L, SL)
@@ -1457,7 +1517,7 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
         s_gape=s_gape, max_gapo=max_gapo, max_gape=max_gape,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
         max_entries=max_entries, max_top2=max_top2, seed_len=seed_len,
-        max_seed_diff=max_seed_diff, step_cap=step_cap)
+        max_seed_diff=max_seed_diff, step_cap=step_cap, ablate=ablate)
     interpret = jax.default_backend() == "cpu"
     out, stats = pl.pallas_call(
         kern,
@@ -1475,7 +1535,7 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
             pltpu.VMEM((NP, B), jnp.int32),       # pai
             pltpu.VMEM((NP, B), jnp.int32),       # pdiff
             pltpu.VMEM((NBUCK, B), jnp.int32),    # heads
-            pltpu.VMEM((NP, B), jnp.int32),       # freelist
+            pltpu.VMEM((NP // 32, B), jnp.int32),  # free-slot bitmap
             pltpu.VMEM((SCALROWS, B), jnp.int32),  # scal
             pltpu.VMEM((8, B), jnp.int32),        # ch
             pltpu.VMEM((A_MAX, B), jnp.int32),    # al0

@@ -24,9 +24,10 @@ _PROBE_CODE = (
 _cached: bool | None = None
 
 
-def healthy_tpu(timeout: float = 45.0, use_cache: bool = True) -> bool:
+def healthy_tpu(timeout: float = 240.0, use_cache: bool = True) -> bool:
     """True when a non-CPU jax backend exists AND answers a trivial jit
-    dispatch within `timeout` seconds.  FQ_NO_TPU=1 forces False (kill
+    dispatch within `timeout` seconds (relay compile roundtrips here can take
+    ~2 min when the tunnel is backlogged).  FQ_NO_TPU=1 forces False (kill
     switch for flaky relays).  Result is cached per process."""
     global _cached
     if os.environ.get("FQ_NO_TPU", "0") == "1":
@@ -34,9 +35,9 @@ def healthy_tpu(timeout: float = 45.0, use_cache: bool = True) -> bool:
     if use_cache and _cached is not None:
         return _cached
     env = dict(os.environ)
-    # the pool-IPs var makes this image's relay hang on repeat
-    # dispatches; the known-good incantation drops it (bench.py)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # NB: do NOT drop PALLAS_AXON_POOL_IPS from a fresh process's env --
+    # sitecustomize needs it to REGISTER the backend; in-process pops
+    # after registration (bench._device_env_fix) are a different thing
     try:
         r = subprocess.run([sys.executable, "-c", _PROBE_CODE], env=env,
                            timeout=timeout, capture_output=True)

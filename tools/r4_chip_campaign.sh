@@ -9,7 +9,8 @@
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/fq_jax_cache
-unset PALLAS_AXON_POOL_IPS
+# NB: do NOT unset PALLAS_AXON_POOL_IPS at the shell level -- sitecustomize
+# needs it to register the axon backend; in-python pops are fine.
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r4c_driver.log; }
 

@@ -99,7 +99,7 @@ def main() -> int:
             eng.align_batch(reads, opt)
             t_compile = time.time() - t0
             best = float("inf")
-            for _ in range(2):
+            for _ in range(int(os.environ.get("FQ_SWEEP_REPS", 2))):
                 t0 = time.time()
                 eng.align_batch(reads, opt)
                 best = min(best, time.time() - t0)
