@@ -28,7 +28,8 @@ Semantics are bit-identical to inner_step: the differential suite
 (tests/test_search_pallas.py) drives both paths over the same worlds
 and asserts equal results; the host-oracle differentials in
 tests/test_batch_engine.py run against this path under FQ_BS_PALLAS=1.
-Only CH_STEPS == 1 (the measured-best config) is supported here.
+The v1 scan kernel below supports CH_STEPS == 1 only; the v2 RESIDENT
+kernel (the product default) supports chain>1 as well.
 """
 
 from __future__ import annotations
@@ -1525,9 +1526,9 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
                    jax.ShapeDtypeStruct((1, 8), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((NP, B), jnp.int32),       # pk

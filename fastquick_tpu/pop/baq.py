@@ -35,7 +35,11 @@ _E = 0.1    # gap extension probability
 _EI = 0.25
 _EM = 0.33333333333
 
-_QUAL2PROB = np.power(10.0, -np.arange(256) / 10.0)
+# the C table is float (kprobaln.c:42 `static float g_qual2prob[256]`);
+# the DP then promotes to double -- round through float32 first or the
+# posteriors drift in the last bits (caught by the refbaq oracle)
+_QUAL2PROB = np.power(10.0, -np.arange(256) / 10.0).astype(
+    np.float32).astype(np.float64)
 
 
 def _set_u(bw: int, i: int, k: int) -> int:
@@ -190,10 +194,20 @@ def kpa_glocal(ref: np.ndarray, query: np.ndarray, iqual: np.ndarray,
                 mx = z
                 max_k = (k - 1) << 2 | 1
             tot += z
-        mx /= tot
+        # C: max /= sum;  k = (int)(-4.343*log(1.-max)+.499);
+        #    q[i-1] = k > 100 ? 99 : k   (q is uint8)
+        # When sum == 0 (no in-band state) max/sum is NaN, and when
+        # max == sum exactly log(0) is -inf: the (int) cast of NaN/inf
+        # is x86 cvttsd2si -> INT_MIN, which is not > 100, so the uint8
+        # store yields 0.  The compiled oracle (refbaq) pins this path.
+        with np.errstate(invalid="ignore"):
+            mx = mx / tot if tot != 0.0 else float("nan")
         state[i - 1] = max_k
-        k = int(-4.343 * math.log(1.0 - mx) + 0.499) if mx < 1.0 else 101
-        q_out[i - 1] = 99 if k > 100 else k
+        if mx != mx or mx >= 1.0:  # NaN or log(<=0): cvttsd2si overflow
+            k = -(2 ** 31)
+        else:
+            k = int(-4.343 * math.log(1.0 - mx) + 0.499)
+        q_out[i - 1] = 99 if k > 100 else k & 0xFF
     return state, q_out
 
 

@@ -52,3 +52,48 @@ def test_bam_pileup_depths_reasonable(world, pipeline, tmp_path):
     # bases are pileup symbols: ref matches encoded as . or ,
     some = v.base_info[0]
     assert any(b in ".," for b in some)
+
+
+def test_baq_is_live_on_bam_path(world, pipeline):
+    """The BAM path must actually apply extended-BAQ quality capping
+    (SimplePileupViewer.cpp:688 MPLP_REALN; bam_md.c:212 flag=3): the
+    pileup quals with BAQ must differ from the raw quals somewhere, and
+    only downward (BAQ caps, never raises).  Guards against the BAQ
+    stage being silently disabled -- kpa_glocal itself is pinned
+    bit-exact to the compiled reference by
+    tests/test_ref_baq_differential.py."""
+    from fastquick_tpu.io.fasta import FastaFile
+    from fastquick_tpu.pop.estimator import ContaminationEstimator
+    from fastquick_tpu.pop.pileup import pileup_from_bam
+
+    est = ContaminationEstimator(num_pc=2)
+    est.read_choose_bed(world["panel"] + ".bed")
+    ref = FastaFile(world["ref_fa"])
+
+    def fetch(chrom, pos):
+        s = ref.fetch(chrom, pos, pos)
+        return s if s else None
+
+    def fetch_range(chrom, start0, end0):
+        s = ref.fetch(chrom, start0 + 1, end0)
+        return s or ""
+
+    v_baq = pileup_from_bam(est.bed_vec, est.choose_bed,
+                            str(pipeline / "clean.bam"), fetch,
+                            ref_range_fetch=fetch_range, baq=True)
+    v_raw = pileup_from_bam(est.bed_vec, est.choose_bed,
+                            str(pipeline / "clean.bam"), fetch,
+                            ref_range_fetch=fetch_range, baq=False)
+    # BAQ caps quals; bases capped below the pileup's base-quality gate
+    # drop out, so depths/markers may shrink -- never grow -- and on
+    # markers with identical depth the qual multiset can only go down
+    changed = v_baq.num_marker() != v_raw.num_marker()
+    total_b = sum(len(q) for q in v_baq.qual_info)
+    total_r = sum(len(q) for q in v_raw.qual_info)
+    assert total_b <= total_r, "BAQ must never ADD pileup bases"
+    changed = changed or total_b != total_r
+    for qb, qr in zip(v_baq.qual_info, v_raw.qual_info):
+        if len(qb) == len(qr) and qb != qr:
+            changed = True
+            assert sum(qb) <= sum(qr), "BAQ raised quals (must only cap)"
+    assert changed, "BAQ had no effect on the BAM pileup"

@@ -13,6 +13,7 @@ Measures, on the real chip, with the measurement loop INSIDE the kernel
 Usage: python tools/probe_mosaic_perf.py [reps]
 """
 
+import os
 import sys
 import time
 
@@ -22,10 +23,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 1024
-NP = 512
+B = int(os.environ.get("FQ_PROBE_B", 1024))
+NP = int(os.environ.get("FQ_PROBE_NP", 512))
 NT = 1 << 17  # table rows (8 MB)
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+REPS = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
+        else 64)
 
 
 def bench(name, f, *args, per=1):
@@ -143,8 +145,118 @@ def push_mix():
     bench("push_mix (9ch x 4 planes)", f, slot, *planes)
 
 
+def gather_unroll(unroll=8):
+    """Same scalar gather, body unrolled: does loop overhead dominate?"""
+    NB = 2 * B
+
+    def kernel(idx_ref, tab_ref, out_ref, smem_idx, scr, sem):
+        def rep(r, _):
+            cp = pltpu.make_async_copy(idx_ref, smem_idx, sem)
+            cp.start()
+            cp.wait()
+
+            def body(b0, _):
+                for u in range(unroll):
+                    b = b0 * unroll + u
+                    i = (smem_idx[b] + r) & (NT - 1)
+                    scr[pl.ds(b, 1), :] = tab_ref[pl.ds(i, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, NB // unroll, body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, REPS, rep, 0)
+        out_ref[:] = scr[0:8, :]
+
+    idx = jnp.asarray(np.random.randint(0, NT, (NB,)), jnp.int32)
+    tab = jnp.asarray(np.random.randint(0, 100, (NT, 16)), jnp.int32)
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 16), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((NB,), jnp.int32),
+                        pltpu.VMEM((NB, 16), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )
+    bench(f"gather_unroll{unroll}({NB} rows)", f, idx, tab, per=NB)
+
+
+def vgather():
+    """Vectorized row gather via take_along_axis on the sublane dim --
+    does Mosaic lower it at all, and at what speed?"""
+    NB = 2 * B
+
+    def kernel(idx_ref, tab_ref, out_ref):
+        def rep(r, acc):
+            idx = (idx_ref[:] + r) & (NT - 1)  # (NB, 1)
+            g = jnp.take_along_axis(
+                tab_ref[:], jnp.broadcast_to(idx, (NB, 16)), axis=0)
+            return acc + g[0:8, :]
+
+        out_ref[:] = jax.lax.fori_loop(0, REPS, rep,
+                                       jnp.zeros((8, 16), jnp.int32))
+
+    idx = jnp.asarray(np.random.randint(0, NT, (NB, 1)), jnp.int32)
+    tab = jnp.asarray(np.random.randint(0, 100, (NT, 16)), jnp.int32)
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 16), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )
+    bench(f"vgather({NB} rows)", f, idx, tab, per=NB)
+
+
+def width_pass(npass=8):
+    """(LW, B) masked one-hot reduce passes (the width/seed lookups)."""
+    LW = 160
+
+    def kernel(x_ref, col_ref, out_ref):
+        def rep(r, acc):
+            col = col_ref[:] + (r & 7)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (LW, B), 0)
+            total = acc
+            for _ in range(npass):
+                total = total + jnp.sum(
+                    jnp.where(iota == col, x_ref[:], 0), axis=0,
+                    keepdims=True)
+                col = col + 1
+            return total
+
+        out_ref[:] = jax.lax.fori_loop(0, REPS, rep,
+                                       jnp.zeros((1, B), jnp.int32))
+
+    x = jnp.asarray(np.random.randint(0, 100, (LW, B)), jnp.int32)
+    col = jnp.asarray(np.random.randint(0, LW - 16, (1, B)), jnp.int32)
+    f = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    bench(f"width_pass x{npass} (LW={LW},B={B})", f, x, col, per=npass)
+
+
+PROBES = {
+    "gather": gather_loop,
+    "gather_unroll": gather_unroll,
+    "vgather": vgather,
+    "onehot": onehot_pass,
+    "push": push_mix,
+    "width": width_pass,
+}
+
 if __name__ == "__main__":
-    print("jax", jax.__version__, "devices", jax.devices(), "REPS", REPS)
-    gather_loop()
-    onehot_pass()
-    push_mix()
+    print("jax", jax.__version__, "devices", jax.devices(), "REPS", REPS,
+          "B", B, "NP", NP)
+    names = [a for a in sys.argv[1:] if not a.isdigit()] or list(PROBES)
+    for nm in names:
+        PROBES[nm]()
