@@ -668,13 +668,20 @@ def run_align(argv: list[str]) -> int:
     if device_qc:
         # product-grade resident mode: device k-mer filter + device
         # search engine + device dense-stat accumulation; pairing /
-        # rescue / refine / pileup strings / output writers stay on the
-        # host, so every product file is byte-identical to the host
-        # pipeline (tests/test_device_qc.py)
+        # refine / pileup strings / output writers stay on the host, so
+        # every product file is byte-identical to the host pipeline
+        # (tests/test_device_qc.py)
         from .device_qc import DeviceDenseStats
 
         notice("Resident-on-chip QC mode (device filter+search+stats)")
         collector.dense_device = DeviceDenseStats(idx, collector, opt)
+        # the freeze-F-exact Pallas SW kernel is the default mate-rescue
+        # engine in device mode (result-identical to the native path,
+        # tests/test_device_qc.py::test_device_sw_rescue_byte_identical);
+        # an explicit FQ_DEVICE_SW=0 opts back out
+        from . import pe as _pe_mod
+
+        _pe_mod.DEVICE_SW_DEFAULT = True  # reset at the end of this run
 
     if device_qc:
         engine_kind = "tpu"
@@ -735,6 +742,10 @@ def run_align(argv: list[str]) -> int:
         collector.process_core(prefix, opt)
         notice("Calculate distributions... %f sec", realtime() - t_tmp)
     notice("Real time: %.3f sec", realtime() - t_real)
+    if device_qc:
+        from . import pe as _pe_mod
+
+        _pe_mod.DEVICE_SW_DEFAULT = False
     return 0
 
 

@@ -337,12 +337,17 @@ def expand_seq(p: Read, q: Read, mode: int) -> None:
     p.filtered = False
 
 
+DEVICE_SW_DEFAULT = False  # the align driver sets True in device mode
+
+
 def _batch_local_sw(text: np.ndarray, todo: list) -> dict:
     """Run every precheck-passing mate-rescue SW window through the
-    threaded native sw_local_batch -- or, with FQ_DEVICE_SW=1, through
-    the Pallas SW kernel (ops/sw_pallas.sw_local_batch_device: fwd+rev
-    DP passes on device with the exact freeze-F recurrence, host global
-    path), which is pinned result-identical to the native/host path.
+    threaded native sw_local_batch -- or through the Pallas SW kernel
+    (ops/sw_pallas.sw_local_batch_device: fwd+rev DP passes on device
+    with the exact freeze-F recurrence, host global path), which is
+    pinned result-identical to the native/host path.  The device kernel
+    is the DEFAULT whenever the align driver engaged device-QC mode
+    (DEVICE_SW_DEFAULT); FQ_DEVICE_SW=1/0 forces it on/off.
     Returns {(pair_idx, k): (score, cigar, coords)}; empty dict when
     neither fast path is available (bwa_sw_core then computes each job
     itself)."""
@@ -350,7 +355,9 @@ def _batch_local_sw(text: np.ndarray, todo: list) -> dict:
 
     from ..native import get_sw_lib
 
-    if _os_env.environ.get("FQ_DEVICE_SW", "0") == "1" and todo:
+    sw_env = _os_env.environ.get("FQ_DEVICE_SW", "")
+    use_device_sw = sw_env == "1" or (sw_env != "0" and DEVICE_SW_DEFAULT)
+    if use_device_sw and todo:
         from ..ops.sw_pallas import sw_local_batch_device
 
         l_pac = len(text)

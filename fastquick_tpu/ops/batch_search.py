@@ -56,8 +56,10 @@ FB_AMAX = 4       # more than A_MAX recorded hits
 FB_STEPCAP = 8    # per-lane step cap hit
 FB_NOFLUSH = 16   # resident kernel: lane never flushed (CAP rounds)
 FB_LONG = 32      # read longer than MAX_READ_LEN (host-side gate)
+FB_D2H = 64       # compacted hit buffer overflowed (K_CAP rows)
 FB_NAMES = {FB_POOL: "pool", FB_SCORE: "score", FB_AMAX: "amax",
-            FB_STEPCAP: "stepcap", FB_NOFLUSH: "noflush", FB_LONG: "long"}
+            FB_STEPCAP: "stepcap", FB_NOFLUSH: "noflush", FB_LONG: "long",
+            FB_D2H: "d2h"}
 
 A_MAX = 48  # max recorded hits per read
 NBUCK = 128  # score buckets (init best_score + s_mm + s_gapo < 128 always)
@@ -119,20 +121,45 @@ def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
     return mm * s_mm + go * s_gapo + ge * s_gape
 
 
+def _compact_hits(n_aln, alns, fb, K_CAP):
+    """Device-side compaction of the (N, A_MAX, 3) hit tensor into a
+    dense (K_CAP, 3) row buffer + per-read offsets.  The full tensor is
+    18 MB at 32k reads and the relay moves ~30 MB/s D2H (0.6s of the
+    r4 bench wall); real hit counts are ~1/read, so the compact form is
+    ~20x smaller.  Reads whose hits would spill past K_CAP are flagged
+    FB_D2H and redone exactly on the host (results never change)."""
+    N = n_aln.shape[0]
+    n_eff = jnp.where(fb != 0, 0, jnp.minimum(n_aln, A_MAX))
+    ends = jnp.cumsum(n_eff)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            ends[:-1].astype(jnp.int32)])
+    total = jnp.minimum(ends[-1], K_CAP)
+    j = jnp.arange(K_CAP, dtype=jnp.int32)
+    read = jnp.searchsorted(ends, j, side="right").astype(jnp.int32)
+    read_c = jnp.clip(read, 0, N - 1)
+    hit = j - offs[read_c]
+    rows = alns[read_c, jnp.clip(hit, 0, A_MAX - 1)]  # (K_CAP, 3)
+    rows = jnp.where((j < total)[:, None], rows, 0)
+    spill = (ends > K_CAP) & (n_eff > 0)
+    fb = fb | jnp.where(spill, FB_D2H, 0)
+    n_out = jnp.where(spill, 0, n_eff)
+    return n_out, rows, offs, fb
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("B", "NP", "K_INNER", "CH_STEPS", "step_cap", "s_mm",
                      "s_gapo", "s_gape", "max_gapo", "max_gape",
                      "indel_end_skip", "max_del_occ", "max_entries",
                      "max_top2", "seed_len", "max_seed_diff", "n_text",
-                     "ablate", "scatter", "pallas", "nbp"))
+                     "ablate", "scatter", "pallas", "nbp", "compact"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
                    seqs_rev, lens_all, md_all, use_seed_all,
                    B, NP, K_INNER, CH_STEPS, step_cap, s_mm, s_gapo,
                    s_gape, max_gapo, max_gape, indel_end_skip, max_del_occ,
                    max_entries, max_top2, seed_len, max_seed_diff, n_text,
                    ablate=(), scatter=False, pallas=False, fmtab=None,
-                   nbp=0):
+                   nbp=0, compact=False):
     """seqs_rev: (N, L) reversed read codes, any int dtype (4 = N / pad;
     int8 keeps the host->device transfer small -- the revcomp plane is a
     pure elementwise complement, derived here); lens_all, md_all: (N,);
@@ -168,14 +195,11 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             return jnp.where(m[:, :, None], val[:, None, :], arr)
         return jnp.where(m, val[:, None], arr)
 
-    # ---- whole-batch precompute (vectorized scans) ----
-    # both strands ride ONE scan (per-row index selector): halves the
-    # per-step fixed costs of the L sequential backward_ext steps
+    # ---- whole-batch precompute ----
+    # both strands ride ONE pass (per-row index selector)
     sel2 = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)])
-    w0_flat = cal_width(
-        fm, sel2, jnp.concatenate([seqs_all[:, 0, :], seqs_all[:, 1, :]]),
-        jnp.concatenate([lens_all, lens_all]))
-    w0_all = jnp.stack([w0_flat[:N], w0_flat[N:]], axis=1)
+    units = jnp.concatenate([seqs_all[:, 0, :], seqs_all[:, 1, :]])
+    lens2 = jnp.concatenate([lens_all, lens_all])
     # seed widths over the last seed_len bases (only meaningful where
     # use_seed; gather the seed slice per read)
     spos = (jnp.clip(lens_all - seed_len, 0, L)[:, None]
@@ -185,18 +209,40 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         use_seed_all[:, None, None],
         jnp.take_along_axis(seqs_all, sidx[:, None, :].repeat(2, 1), axis=2),
         4)
+    seed_units = jnp.concatenate([seed_seqs[:, 0], seed_seqs[:, 1]])
     sl_lens = jnp.full(2 * N, seed_len, jnp.int32)
-    sw_flat = cal_width(
-        fm, sel2, jnp.concatenate([seed_seqs[:, 0], seed_seqs[:, 1]]),
-        sl_lens)
+    if pallas == "resident":
+        # Pallas width kernel over the packed VMEM table: the XLA scan
+        # below pays two 2N-row HBM gathers per base (0.6s of the 2.4s
+        # 32k-read wall, r5 stage decomposition)
+        from .fm import width_finalize
+        from .search_pallas import width_pallas
+
+        wv, bv = width_pallas(fmtab, L2, primary, units, sel2,
+                              NBP=nbp, n=n_text)
+        w0_flat = width_finalize(wv, bv, lens2)
+        swv, sbv = width_pallas(fmtab, L2, primary, seed_units, sel2,
+                                NBP=nbp, n=n_text)
+        sw_flat = width_finalize(swv, sbv, sl_lens)
+    else:
+        w0_flat = cal_width(fm, sel2, units, lens2)
+        sw_flat = cal_width(fm, sel2, seed_units, sl_lens)
+    w0_all = jnp.stack([w0_flat[:N], w0_flat[N:]], axis=1)
     seed_w_all = jnp.stack([sw_flat[:N], sw_flat[N:]], axis=1)
     n_n_all = ((seqs_all[:, 0, :] > 3)
                & (jnp.arange(L)[None, :] < lens_all[:, None])).sum(axis=1)
 
+    if "stopwidth" in ablate:
+        # profiling only: stop after the width precompute (results
+        # wrong; real data deps keep XLA from DCE-ing the scans)
+        return (w0_all[:, 0, 0, 0] + seed_w_all[:, 0, 0, 0] + n_n_all,
+                jnp.zeros((N, A_MAX, 3), jnp.int32),
+                jnp.zeros(N, jnp.int32), jnp.int32(0), jnp.int32(0))
+
     if pallas == "resident":
         from .search_pallas import resident_search
 
-        return resident_search(
+        n_aln_r, alns_r, fb_r, rounds_r, busy_r = resident_search(
             fmtab, L2, primary, seqs_all, w0_all, seed_w_all, n_n_all,
             lens_all, md_all, use_seed_all, B=B, NP=NP, RF=K_INNER,
             NBP=nbp, n=n_text, s_mm=s_mm, s_gapo=s_gapo, s_gape=s_gape,
@@ -205,6 +251,11 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             max_entries=max_entries, max_top2=max_top2,
             seed_len=seed_len, max_seed_diff=max_seed_diff,
             step_cap=step_cap, CH=CH_STEPS, ablate=ablate)
+        if compact:
+            n_aln_r, rows, offs, fb_r = _compact_hits(
+                n_aln_r, alns_r, fb_r, 8 * N)
+            return n_aln_r, rows, offs, fb_r, rounds_r, busy_r
+        return n_aln_r, alns_r, fb_r, rounds_r, busy_r
 
     # per-read outputs; hit rows are packed 3 int32 words (the device->
     # host result copy rides the same narrow link as the inputs)
@@ -750,6 +801,11 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
                   rounds=jnp.int32(0), busy=jnp.int32(0))
     # lanes beyond N started idle; account them as consumed
     out = jax.lax.while_loop(outer_cond, outer_body, carry0)
+    if compact:
+        n_c, rows, offs, fb_c = _compact_hits(
+            out["out_n"][:N], out["out_alns"][:N], out["out_fb"][:N],
+            8 * N)
+        return n_c, rows, offs, fb_c, out["rounds"], out["busy"]
     return (out["out_n"][:N], out["out_alns"][:N], out["out_fb"][:N],
             out["rounds"], out["busy"])
 
@@ -876,15 +932,21 @@ class BatchEngine:
             todo = [p for p in todo if p.len <= MAX_READ_LEN]
         if not todo:
             return
+        import time as _time
+
+        prof = os.environ.get("FQ_BS_PROF", "0") == "1"
+        t0 = _time.perf_counter()
         B = len(todo)
         Lmax = max(p.len for p in todo)
-        # pad shapes to limit recompiles
+        # pad shapes to limit recompiles.  Lpad rounds to a multiple of
+        # 32 (not a power of 2): 151-bp reads at Lpad=256 paid ~60%
+        # extra on every L-proportional pass -- the 256+32-step width
+        # scan and the kernel's (LW, B) width/seq planes (r5 stage
+        # decomposition: width precompute was 0.6s of the 2.4s wall)
         Npad = 256
         while Npad < B:
             Npad *= 2
-        Lpad = 32
-        while Lpad < Lmax:
-            Lpad *= 2
+        Lpad = max(32, -(-Lmax // 32) * 32)
         # int8 reversed codes only: the revcomp plane is derived on
         # device (elementwise complement), so the H2D copy is 1 byte per
         # padded base instead of 8
@@ -914,7 +976,9 @@ class BatchEngine:
                                       self.nbp)
             if est > PALLAS_VMEM_BUDGET:
                 use_pallas = False
-        n_aln, alns, fallback, rounds, busy = _search_kernel(
+        t_pack = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        n_aln, alns, offs, fallback, rounds, busy = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
             self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
             jnp.asarray(md), jnp.asarray(use_seed),
@@ -934,27 +998,56 @@ class BatchEngine:
             max_top2=opt.max_top2, seed_len=opt.seed_len,
             max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
             scatter=self.scatter, pallas=use_pallas, fmtab=self.fmtab,
-            nbp=self.nbp,
+            nbp=self.nbp, compact=True,
             ablate=tuple(sorted(
                 x for x in os.environ.get("FQ_BS_ABLATE", "").split(",")
                 if x)))
+        if prof:
+            jax.block_until_ready((n_aln, alns, fallback))
+            t_disp = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
         n_aln = np.asarray(n_aln)
-        alns = np.asarray(alns)
+        rows = np.asarray(alns)  # compact (K_CAP, 3) hit rows
+        offs = np.asarray(offs)
         fallback = np.asarray(fallback)
+        t_d2h = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         self.last_iters += int(rounds) * int(self.inner)
         self.last_fallback += int((fallback[:B] != 0).sum())
         self._count_causes(fallback[:B])
         self.last_busy += int(busy)
 
+        # vectorized field decode + plain-int lists: the old per-element
+        # numpy bit-op loop was ~0.15s/chunk at 32k reads
+        f0 = rows[:, 0]
+        mm_l = (f0 & 63).tolist()
+        go_l = ((f0 >> 6) & 63).tolist()
+        ge_l = ((f0 >> 12) & 63).tolist()
+        a_l = ((f0 >> 18) & 1).tolist()
+        sc_l = ((f0 >> 19) & 127).tolist()
+        k_l = rows[:, 1].tolist()
+        l_l = rows[:, 2].tolist()
+        n_list = n_aln.tolist()
+        o_list = offs.tolist()
+        fb_list = fallback.tolist()
+
         fb_reads = []
         for b, p in enumerate(todo):
-            if fallback[b]:
+            if fb_list[b]:
                 fb_reads.append(p)
                 continue
-            p.aln = [Aln(int(r[0]) & 63, (int(r[0]) >> 6) & 63,
-                         (int(r[0]) >> 12) & 63, (int(r[0]) >> 18) & 1,
-                         int(r[1]), int(r[2]), (int(r[0]) >> 19) & 127)
-                     for r in alns[b, : n_aln[b]]]
+            s = o_list[b]
+            p.aln = [Aln(mm_l[i], go_l[i], ge_l[i], a_l[i],
+                         k_l[i], l_l[i], sc_l[i])
+                     for i in range(s, s + n_list[b])]
             p.n_aln = len(p.aln)
+        t_unpack = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         if fb_reads:
             self.host.align_batch(fb_reads, opt)
+        if prof:
+            print(f"# BS_PROF chunk B={B}: pack {t_pack:.3f}s "
+                  f"dispatch {t_disp:.3f}s d2h {t_d2h:.3f}s "
+                  f"unpack {t_unpack:.3f}s "
+                  f"fallback({len(fb_reads)}) "
+                  f"{_time.perf_counter() - t0:.3f}s", flush=True)

@@ -181,17 +181,25 @@ def cal_width(fm: DeviceFM, sel_scalar, seqs: jax.Array,
             jnp.zeros(B, jnp.int32))
     (k, l, bid), ws = jax.lax.scan(step, init, jnp.arange(L))
     ws = jnp.swapaxes(ws, 0, 1)  # (B, L, 2)
+    return width_finalize(ws[:, :, 0], ws[:, :, 1], lens)
+
+
+def width_finalize(w: jax.Array, bid: jax.Array, lens: jax.Array
+                   ) -> jax.Array:
+    """(B, L) per-position (w, bid) planes -> the (B, L+1, 2) width
+    array with the terminal entry: width[len] = (0, bid_at_len-1 + 1)
+    (bwt_cal_width's post-loop `width[len].w = 0; width[len].bid =
+    ++bid`).  Shared by the XLA scan (cal_width) and the Pallas width
+    kernel (ops/search_pallas.width_pallas)."""
+    B, L = w.shape
+    ws = jnp.stack([w, bid], axis=2)
     width = jnp.concatenate(
         [ws, jnp.zeros((B, 1, 2), jnp.int32)], axis=1)  # (B, L+1, 2)
-    # width[len] = (0, bid_at_len + 1): bid at position lens[b]-1 plus 1;
-    # note bid carried through the scan equals bid after the last step,
-    # so gather bid at index lens-1 from ws
     last_bid = jnp.take_along_axis(
-        ws[:, :, 1], jnp.clip(lens - 1, 0, L - 1)[:, None], axis=1)[:, 0]
+        bid, jnp.clip(lens - 1, 0, L - 1)[:, None], axis=1)[:, 0]
     last_bid = jnp.where(lens > 0, last_bid, 0)
     terminal = jnp.stack([jnp.zeros_like(last_bid), last_bid + 1], axis=1)
-    width = width.at[jnp.arange(B), lens].set(terminal)
-    return width
+    return width.at[jnp.arange(B), lens].set(terminal)
 
 
 def match_exact(fm: DeviceFM, sel_scalar: int, seqs: jax.Array,

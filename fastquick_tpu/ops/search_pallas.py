@@ -1507,6 +1507,12 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
     consts = consts.at[:, 6, :sub6.shape[1]].set(sub6)
     out_seed = jnp.zeros((N, 8, OSUB), jnp.int32).at[:, 3, 1].set(
         FB_NOFLUSH)
+    if "stopconsts" in ablate:
+        # profiling only: everything up to (and incl.) the consts-plane
+        # assembly, skipping the kernel (real deps prevent DCE)
+        return (jnp.max(consts, axis=(1, 2)),
+                jnp.zeros((N, A_MAX, 3), jnp.int32),
+                jnp.zeros(N, jnp.int32), jnp.int32(0), jnp.int32(0))
     params = jnp.concatenate(
         [primary.astype(jnp.int32).reshape(-1),
          L2.astype(jnp.int32).reshape(-1)])
@@ -1577,3 +1583,183 @@ def resident_search(fmtab, L2, primary, seqs_all, w0_all, seed_w_all,
     rounds = stats[0, 0]  # flush rounds; caller's RF == its K_INNER
     busy = stats[0, 2]
     return n_aln, alns, fb, rounds, busy
+
+
+# ======================================================================
+# Width kernel: bwt_cal_width (libbwa/bwtaln.c:73-97) for the whole
+# batch as ONE pallas_call.
+#
+# The XLA formulation (ops/fm.cal_width: a lax.scan of L backward_ext
+# steps over all 2N read-strand units) measured 0.6s of the 2.4s
+# 32k-read bench wall (r5 stage decomposition) -- each scan step pays
+# two 131072-row XLA gathers.  Here the same walk runs over the packed
+# VMEM-resident FM table with the scalar-loop row gather measured at
+# ~5.6ns/row: units are processed in WB-lane batches; each iteration
+# advances every lane one base (one 2*WB-row gather, the fat-table
+# popcount rank, the backward_ext interval update and the
+# restart/bucket-id bookkeeping of bwt_cal_width).
+#
+# Differential: tests/test_search_pallas.py pins the kernel's (w, bid)
+# planes bit-identical to cal_width (interpret mode on CPU, compiled on
+# the chip).
+# ======================================================================
+
+
+def _width_kernel(params, tab, blocks, w_hbm, bid_hbm,
+                  seqs_v, w_v, bid_v, gth, idxv, idxs,
+                  sem_in, sem_w, sem_b, sem_g,
+                  *, WB, NBATCH, LIT, LK, LKP, NBP, n):
+    def lsr(x, s):
+        return jax.lax.shift_right_logical(x, jnp.full_like(x, s))
+
+    def i32(b):
+        return b.astype(jnp.int32)
+
+    P0, P1 = params[0], params[1]
+    L2F = [params[2 + c] for c in range(4)]
+    L2R = [params[6 + c] for c in range(4)]
+
+    def batch_body(nb, _):
+        cp = pltpu.make_async_copy(blocks.at[nb], seqs_v, sem_in)
+        cp.start()
+        cp.wait()
+        sel = seqs_v[LKP - 8:LKP - 7, :]  # (1, WB) strand select
+        ss2 = jnp.concatenate([sel, sel], axis=1)
+        prim = jnp.where(ss2 == 0, P0, P1)
+
+        def step(i, carry):
+            k, l, bid = carry
+            c = seqs_v[pl.ds(i, 1), :]
+            qq = jnp.concatenate([k - 1, l], axis=1)  # (1, 2WB)
+            kk = qq + 1
+            kp = kk - i32(kk > prim)
+            kp = jnp.clip(kp, 0, n)
+            blk = kp >> 7
+            rem = kp - (blk << 7)
+            idxv[:] = jnp.clip(ss2 * NBP + blk, 0, 2 * NBP - 1)
+            cpg = pltpu.make_async_copy(idxv, idxs, sem_g)
+            cpg.start()
+            cpg.wait()
+
+            def gbody(b, _):
+                r = idxs[0, b]
+                gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, 2 * WB, gbody, 0)
+            gt = gth[:].T
+            ck_rows = gt[0:4]
+            widx = rem >> 4
+            rem16 = rem & 15
+            w_sel = jnp.zeros((1, 2 * WB), jnp.int32)
+            cum_sel = jnp.zeros((1, 2 * WB), jnp.int32)
+            for w in range(8):
+                is_w = widx == w
+                w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
+                cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
+            sh = 32 - 2 * rem16
+            mask_w = jnp.where(
+                rem16 <= 0, 0,
+                jax.lax.shift_left(jnp.full_like(sh, _FULL_I32),
+                                   jnp.clip(sh, 0, 31)))
+            ccl = jnp.clip(c, 0, 3)
+            occk_c = jnp.zeros((1, WB), jnp.int32)
+            occl_c = jnp.zeros((1, WB), jnp.int32)
+            L2c = jnp.zeros((1, WB), jnp.int32)
+            for ch in range(4):
+                xc = w_sel ^ _PAT_I32[ch]
+                y = xc | lsr(xc, 1)
+                match = (~y) & _EVEN_I32 & mask_w
+                cnt = ((lsr(cum_sel, 8 * ch) & 255)
+                       + jax.lax.population_count(match))
+                occ2 = ck_rows[ch:ch + 1] + cnt  # (1, 2WB)
+                is_c = ccl == ch
+                occk_c = jnp.where(is_c, occ2[:, :WB], occk_c)
+                occl_c = jnp.where(is_c, occ2[:, WB:], occl_c)
+                L2ch = jnp.where(sel == 0, L2F[ch], L2R[ch])
+                L2c = jnp.where(is_c, L2ch, L2c)
+            nk = L2c + occk_c + 1
+            nl = L2c + occl_c
+            valid = c < 4
+            nk = jnp.where(valid, nk, k)
+            nl = jnp.where(valid, nl, l)
+            restart = (nk > nl) | ~valid
+            bid = bid + i32(restart)
+            nk = jnp.where(restart, 0, nk)
+            nl = jnp.where(restart, jnp.full_like(nl, n), nl)
+            w_v[pl.ds(i, 1), :] = nl - nk + 1
+            bid_v[pl.ds(i, 1), :] = bid
+            return nk, nl, bid
+
+        z = jnp.zeros((1, WB), jnp.int32)
+        jax.lax.fori_loop(0, LIT, step,
+                          (z, jnp.full((1, WB), n, jnp.int32), z))
+        cpw = pltpu.make_async_copy(w_v, w_hbm.at[nb], sem_w)
+        cpw.start()
+        cpb = pltpu.make_async_copy(bid_v, bid_hbm.at[nb], sem_b)
+        cpb.start()
+        cpw.wait()
+        cpb.wait()
+        return 0
+
+    jax.lax.fori_loop(0, NBATCH, batch_body, 0)
+
+
+def width_pallas(fmtab, L2, primary, seqs_units, sel_units, *, NBP, n,
+                 WB=2048):
+    """bwt_cal_width raw (w, bid) planes for (M, L) read-strand units.
+
+    seqs_units: (M, L) int32 codes (0..4); sel_units: (M,) strand
+    select.  Returns (w, bid): (M, L) int32 -- the per-position values
+    BEFORE the terminal entry fix (ops/fm.width_finalize applies it)."""
+    M, L = seqs_units.shape
+    LIT = L
+    LK = -(-LIT // 8) * 8
+    LKP = LK + 8  # one spare sublane row bank: row LKP-8 carries sel
+    Mpad = -(-M // WB) * WB
+    NBATCH = Mpad // WB
+    arr = jnp.zeros((Mpad, LIT), jnp.int32).at[:M].set(
+        seqs_units.astype(jnp.int32))
+    selp = jnp.zeros(Mpad, jnp.int32).at[:M].set(
+        sel_units.astype(jnp.int32))
+    blocks = jnp.zeros((NBATCH, LKP, WB), jnp.int32)
+    blocks = blocks.at[:, :LIT, :].set(
+        arr.reshape(NBATCH, WB, LIT).transpose(0, 2, 1))
+    blocks = blocks.at[:, LKP - 8, :].set(selp.reshape(NBATCH, WB))
+    params = jnp.concatenate(
+        [primary.astype(jnp.int32).reshape(-1),
+         L2.astype(jnp.int32).reshape(-1)])
+    TABW = fmtab.shape[1]
+    interpret = jax.default_backend() == "cpu"
+    kern = functools.partial(
+        _width_kernel, WB=WB, NBATCH=NBATCH, LIT=LIT, LK=LK, LKP=LKP,
+        NBP=NBP, n=n)
+    w_hbm, bid_hbm = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((NBATCH, LK, WB), jnp.int32),
+                   jax.ShapeDtypeStruct((NBATCH, LK, WB), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((LKP, WB), jnp.int32),   # seqs_v
+            pltpu.VMEM((LK, WB), jnp.int32),    # w_v
+            pltpu.VMEM((LK, WB), jnp.int32),    # bid_v
+            pltpu.VMEM((2 * WB, TABW), jnp.int32),  # gth
+            pltpu.VMEM((1, 2 * WB), jnp.int32),  # idxv
+            pltpu.SMEM((1, 2 * WB), jnp.int32),  # idxs
+            pltpu.SemaphoreType.DMA(()),         # sem_in
+            pltpu.SemaphoreType.DMA(()),         # sem_w
+            pltpu.SemaphoreType.DMA(()),         # sem_b
+            pltpu.SemaphoreType.DMA(()),         # sem_g
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            has_side_effects=True),
+        interpret=interpret,
+    )(params, fmtab, blocks)
+    w = w_hbm.transpose(0, 2, 1).reshape(Mpad, LK)[:M, :LIT]
+    bid = bid_hbm.transpose(0, 2, 1).reshape(Mpad, LK)[:M, :LIT]
+    return w, bid

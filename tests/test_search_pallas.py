@@ -73,3 +73,45 @@ def test_pallas_n_bases_and_lengths():
     pallas_engine(idx, mode="resident").align_batch(rp, opt)
     for h, p in zip(rh, rp):
         assert [aln_key(a) for a in h.aln] == [aln_key(a) for a in p.aln]
+
+
+def test_width_pallas_matches_cal_width():
+    """The Pallas width kernel's raw (w, bid) planes must be
+    bit-identical to the XLA cal_width scan (both implement
+    libbwa/bwtaln.c:73-97 bwt_cal_width)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fastquick_tpu.index.fmindex import FMIndex
+    from fastquick_tpu.ops.fm import DeviceFM, cal_width, width_finalize
+    from fastquick_tpu.ops.search_pallas import pack_fm_table, width_pallas
+
+    rng = np.random.default_rng(5)
+    text = rng.integers(0, 4, 20000).astype(np.uint8)
+    fmf = FMIndex.build(text)
+    fmr = FMIndex.build(text[::-1].copy())
+    dev = DeviceFM.build(fmf, fmr)
+    tab, nbp = pack_fm_table(dev)
+
+    M, L = 300, 40
+    units = np.full((M, L), 4, np.int32)
+    lens = np.zeros(M, np.int32)
+    for i in range(M):
+        ln = int(rng.integers(1, L + 1))
+        s = int(rng.integers(0, len(text) - ln))
+        codes = text[s:s + ln].astype(np.int32)
+        nerr = int(rng.binomial(ln, 0.08))
+        for _ in range(nerr):
+            p = int(rng.integers(0, ln))
+            codes[p] = int(rng.integers(0, 5))  # incl. N
+        units[i, :ln] = codes
+        lens[i] = ln
+    sel = (np.arange(M) % 2).astype(np.int32)
+
+    wv, bv = width_pallas(jnp.asarray(tab), dev.L2, dev.primary,
+                          jnp.asarray(units), jnp.asarray(sel),
+                          NBP=nbp, n=dev.n, WB=256)
+    got = np.asarray(width_finalize(wv, bv, jnp.asarray(lens)))
+    want = np.asarray(cal_width(dev, jnp.asarray(sel),
+                                jnp.asarray(units), jnp.asarray(lens)))
+    assert np.array_equal(got, want), np.argwhere(got != want)[:5]
