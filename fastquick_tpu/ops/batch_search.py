@@ -152,17 +152,20 @@ def _compact_hits(n_aln, alns, fb, K_CAP):
                      "s_gapo", "s_gape", "max_gapo", "max_gape",
                      "indel_end_skip", "max_del_occ", "max_entries",
                      "max_top2", "seed_len", "max_seed_diff", "n_text",
-                     "ablate", "scatter", "pallas", "nbp", "compact"))
+                     "ablate", "scatter", "pallas", "nbp", "compact",
+                     "packed_seqs"))
 def _search_kernel(words, occ_ckpt, sa, L2, primary,
                    seqs_rev, lens_all, md_all, use_seed_all,
                    B, NP, K_INNER, CH_STEPS, step_cap, s_mm, s_gapo,
                    s_gape, max_gapo, max_gape, indel_end_skip, max_del_occ,
                    max_entries, max_top2, seed_len, max_seed_diff, n_text,
                    ablate=(), scatter=False, pallas=False, fmtab=None,
-                   nbp=0, compact=False):
+                   nbp=0, compact=False, packed_seqs=False):
     """seqs_rev: (N, L) reversed read codes, any int dtype (4 = N / pad;
     int8 keeps the host->device transfer small -- the revcomp plane is a
-    pure elementwise complement, derived here); lens_all, md_all: (N,);
+    pure elementwise complement, derived here); with packed_seqs=True,
+    (N, L//2) uint8 nibble pairs (lo=even, hi=odd position) halving the
+    H2D bytes again (the relay moves ~30 MB/s).  lens_all, md_all: (N,);
     md_all < 0 marks padding rows.  Returns per-read (n_aln, packed
     alns (N, A_MAX, 3) [mm|go<<6|ge<<12|a<<18|score<<19, k, l],
     fallback, n_outer_rounds, busy)."""
@@ -170,7 +173,18 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
         assert CH_STEPS == 1, "pallas scan path supports chain=1 only"
     fm = DeviceFM(words=words, occ=occ_ckpt, sa=sa, L2=L2, primary=primary,
                   n=n_text)
-    s0 = seqs_rev.astype(jnp.int32)
+    if packed_seqs:
+        pk8 = seqs_rev.astype(jnp.int32)
+        s0 = jnp.stack([pk8 & 15, (pk8 >> 4) & 15], axis=2).reshape(
+            pk8.shape[0], -1)
+        # aux metadata rides ONE H2D array (relay round trips are
+        # latency-bound): lens_all is (N, 3) [len, md, use_seed]
+        aux = lens_all
+        lens_all = aux[:, 0]
+        md_all = aux[:, 1]
+        use_seed_all = aux[:, 2] != 0
+    else:
+        s0 = seqs_rev.astype(jnp.int32)
     seqs_all = jnp.stack([s0, jnp.where(s0 < 4, 3 - s0, s0)], axis=1)
     N, _, L = seqs_all.shape
     n = jnp.int32(n_text)
@@ -253,8 +267,11 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
             step_cap=step_cap, CH=CH_STEPS, ablate=ablate)
         if compact:
             n_aln_r, rows, offs, fb_r = _compact_hits(
-                n_aln_r, alns_r, fb_r, 8 * N)
-            return n_aln_r, rows, offs, fb_r, rounds_r, busy_r
+                n_aln_r, alns_r, fb_r, 3 * N)
+            # ONE flat D2H payload: each device->host array pays a
+            # fixed relay round trip (~25 ms), so meta rides one array
+            meta = jnp.concatenate([n_aln_r, offs, fb_r])
+            return meta, rows, rounds_r, busy_r
         return n_aln_r, alns_r, fb_r, rounds_r, busy_r
 
     # per-read outputs; hit rows are packed 3 int32 words (the device->
@@ -804,8 +821,9 @@ def _search_kernel(words, occ_ckpt, sa, L2, primary,
     if compact:
         n_c, rows, offs, fb_c = _compact_hits(
             out["out_n"][:N], out["out_alns"][:N], out["out_fb"][:N],
-            8 * N)
-        return n_c, rows, offs, fb_c, out["rounds"], out["busy"]
+            3 * N)
+        meta = jnp.concatenate([n_c, offs, fb_c])
+        return meta, rows, out["rounds"], out["busy"]
     return (out["out_n"][:N], out["out_alns"][:N], out["out_fb"][:N],
             out["rounds"], out["busy"])
 
@@ -978,10 +996,14 @@ class BatchEngine:
                 use_pallas = False
         t_pack = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        n_aln, alns, offs, fallback, rounds, busy = _search_kernel(
+        packed = (seqs[:, 0::2].astype(np.uint8)
+                  | (seqs[:, 1::2].astype(np.uint8) << 4))
+        aux_d = jnp.asarray(np.stack(
+            [lens, md, use_seed.astype(np.int32)], axis=1))
+        meta_d, rows_d, rounds, busy = _search_kernel(
             self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
-            self.dev.primary, jnp.asarray(seqs), jnp.asarray(lens),
-            jnp.asarray(md), jnp.asarray(use_seed),
+            self.dev.primary, jnp.asarray(packed), aux_d,
+            aux_d, aux_d,
             B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
             CH_STEPS=int(self.chain),
             # auto step cap: the resident kernel refills lanes
@@ -998,24 +1020,36 @@ class BatchEngine:
             max_top2=opt.max_top2, seed_len=opt.seed_len,
             max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
             scatter=self.scatter, pallas=use_pallas, fmtab=self.fmtab,
-            nbp=self.nbp, compact=True,
+            nbp=self.nbp, compact=True, packed_seqs=True,
             ablate=tuple(sorted(
                 x for x in os.environ.get("FQ_BS_ABLATE", "").split(",")
                 if x)))
         if prof:
-            jax.block_until_ready((n_aln, alns, fallback))
+            jax.block_until_ready((meta_d, rows_d))
             t_disp = _time.perf_counter() - t0
             t0 = _time.perf_counter()
-        n_aln = np.asarray(n_aln)
-        rows = np.asarray(alns)  # compact (K_CAP, 3) hit rows
-        offs = np.asarray(offs)
-        fallback = np.asarray(fallback)
-        t_d2h = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
+        meta = np.asarray(meta_d)  # [n_aln | offs | fallback] flat
+        n_aln = meta[:Npad]
+        offs = meta[Npad:2 * Npad]
+        fallback = meta[2 * Npad:]
         self.last_iters += int(rounds) * int(self.inner)
         self.last_fallback += int((fallback[:B] != 0).sum())
         self._count_causes(fallback[:B])
         self.last_busy += int(busy)
+        fb_list = fallback.tolist()
+        fb_reads = [p for b, p in enumerate(todo) if fb_list[b]]
+        # overlap the exact host redo with the hit-row D2H + decode
+        # (the native engine releases the GIL)
+        fb_thread = None
+        if fb_reads:
+            import threading
+
+            fb_thread = threading.Thread(
+                target=self.host.align_batch, args=(fb_reads, opt))
+            fb_thread.start()
+        rows = np.asarray(rows_d)  # compact (K_CAP, 3) hit rows
+        t_d2h = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
 
         # vectorized field decode + plain-int lists: the old per-element
         # numpy bit-op loop was ~0.15s/chunk at 32k reads
@@ -1029,12 +1063,9 @@ class BatchEngine:
         l_l = rows[:, 2].tolist()
         n_list = n_aln.tolist()
         o_list = offs.tolist()
-        fb_list = fallback.tolist()
 
-        fb_reads = []
         for b, p in enumerate(todo):
             if fb_list[b]:
-                fb_reads.append(p)
                 continue
             s = o_list[b]
             p.aln = [Aln(mm_l[i], go_l[i], ge_l[i], a_l[i],
@@ -1043,8 +1074,8 @@ class BatchEngine:
             p.n_aln = len(p.aln)
         t_unpack = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        if fb_reads:
-            self.host.align_batch(fb_reads, opt)
+        if fb_thread is not None:
+            fb_thread.join()
         if prof:
             print(f"# BS_PROF chunk B={B}: pack {t_pack:.3f}s "
                   f"dispatch {t_disp:.3f}s d2h {t_d2h:.3f}s "

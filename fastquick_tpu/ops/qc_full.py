@@ -241,6 +241,24 @@ def _pileup_ranks(mk_flat: jax.Array, valid: jax.Array):
     return ranks
 
 
+def pack_host_hits(reads, rows_idx, B, A_MAX_=A_MAX):
+    """Pack host-engine hit lists into the kernel's (B, A_MAX, 3) form
+    for `qc_step_full(fb_fill=...)`: fb_n[b] = -1 marks rows without a
+    fill; packed rows are [mm|go<<6|ge<<12|a<<18|score<<19, k, l] in
+    the engine's recording order (identical to the kernel's -- the
+    zero-fallback drand differentials pin that)."""
+    fb_n = np.full(B, -1, np.int32)
+    fb_rows = np.zeros((B, A_MAX_, 3), np.int32)
+    for p, b in zip(reads, rows_idx):
+        fb_n[b] = min(len(p.aln), A_MAX_)
+        for j, a in enumerate(p.aln[:A_MAX_]):
+            fb_rows[b, j, 0] = (a.n_mm | (a.n_gapo << 6) | (a.n_gape << 12)
+                                | (a.a << 18) | (a.score << 19))
+            fb_rows[b, j, 1] = a.k
+            fb_rows[b, j, 2] = a.l
+    return fb_n, fb_rows
+
+
 def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  seqs, rseqs, quals, lens,
                  bitmaps=None, thresh: int = 3,
@@ -251,6 +269,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  pair_mode: bool = False,
                  last_ii: jax.Array | None = None,
                  last_drand: jax.Array | None = None,
+                 fb_fill: tuple | None = None,
                  axis_names: tuple = ()):
     """One shard's full QC step (traceable; runs inside shard_map).
 
@@ -259,7 +278,14 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
     orientation; lens: (B,).  marker_base: (M,) per-marker slot offset
     for this shard's pileup entries (0 on a single device; the mesh
     wrapper passes the all-gathered prefix counts so psum == global
-    concat in read order)."""
+    concat in read order).
+
+    fb_fill: optional (fb_n (B,), fb_rows (B, A_MAX, 3)) host-exact hit
+    lists for kernel-fallback reads (pack_host_hits).  Filled reads are
+    treated as device-finished: the drand48 stream then consumes their
+    draws IN ORDER, so stream exactness holds on batches WITH fallback
+    (the two-dispatch recipe: run once, host-align the fallback reads,
+    re-run with the fills)."""
     B, L = seqs.shape
     S, M = tables.n_sites, tables.n_markers
     n_text = int(opt_args["n_text"])
@@ -293,6 +319,12 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         seed_len=int(opt_args.get("seed_len", 32)),
         max_seed_diff=int(opt_args.get("max_seed_diff", 2)),
         n_text=n_text)
+    if fb_fill is not None:
+        fb_n, fb_rows = fb_fill
+        has_fill = (fallback != 0) & (fb_n >= 0)
+        n_aln = jnp.where(has_fill, fb_n, n_aln)
+        alns = jnp.where(has_fill[:, None, None], fb_rows, alns)
+        fallback = jnp.where(has_fill, 0, fallback)
 
     draw = None
     drand_state = None
@@ -534,6 +566,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         "kept": kept,
         "mapped": mapped,
         "eligible": eligible,
+        "fallback": fallback,
         "host_redo": kept & ((fallback != 0)
                              | (mapped & gapped & (mapq >= 20))),
     }

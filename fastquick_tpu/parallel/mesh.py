@@ -148,13 +148,14 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
     def step(words, occ, sa, L2, primary, seqs, rseqs, quals, lens,
-             last_ii):
+             last_ii, fb_n, fb_rows):
         fmd = {"words": words, "occ": occ, "sa": sa, "L2": L2,
                "primary": primary}
         out = qc_step_full(fmd, tables, opt_args, seqs, rseqs, quals,
                            lens, bitmaps=bitmaps, thresh=thresh,
                            pileup_cap=pileup_cap, md_table=md_table,
                            pair_mode=pair_mode, last_ii=last_ii,
+                           fb_fill=(fb_n, fb_rows),
                            axis_names=tuple(reversed(axes)))
         # drand48 stream state: computed from the gathered global scan,
         # identical on every shard -- carry it around the psum untouched
@@ -221,16 +222,24 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(),
                   P(shard_axes, None), P(shard_axes, None),
-                  P(shard_axes, None), P(shard_axes), P()),
+                  P(shard_axes, None), P(shard_axes), P(),
+                  P(shard_axes), P(shard_axes, None, None)),
         out_specs=P())
 
     @jax.jit
-    def run(seqs, rseqs, quals, lens, last_ii=None):
+    def run(seqs, rseqs, quals, lens, last_ii=None, fb_fill=None):
         if last_ii is None:
             last_ii = jnp.zeros(7, jnp.float32)
+        if fb_fill is None:
+            from ..ops.qc_full import A_MAX as _A
+
+            fb_n = jnp.full(seqs.shape[0], -1, jnp.int32)
+            fb_rows = jnp.zeros((seqs.shape[0], _A, 3), jnp.int32)
+        else:
+            fb_n, fb_rows = fb_fill
         return sharded(fm_arrays["words"], fm_arrays["occ"],
                        fm_arrays["sa"], fm_arrays["L2"],
                        fm_arrays["primary"], seqs, rseqs, quals, lens,
-                       last_ii)
+                       last_ii, fb_n, fb_rows)
 
     return run

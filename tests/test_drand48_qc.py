@@ -129,7 +129,8 @@ def host_state(world):
                 names=[p.name for p in b0], n_pairs=len(b0))
 
 
-def _device_run(world, axis=None):
+def _device_run(world, axis=None, pool=512, step_cap=None, fb_fill=None,
+                per_read=False):
     from test_pe_qc_differential import _load, _read_pairs
 
     from fastquick_tpu.align.opts import PeOpt, bwa_cal_maxdiff
@@ -165,8 +166,8 @@ def _device_run(world, axis=None):
     md_np = np.array([bwa_cal_maxdiff(i, thres=opt.fnr)
                       for i in range(L + 1)], np.int32)
     opt_args = {"n_text": dev.n, "max_diff": int(md_np.max()),
-                "use_seed": True, "pool": 512, "inner": 16,
-                "step_cap": 64 * L, "max_gapo": opt.max_gapo,
+                "use_seed": True, "pool": pool, "inner": 16,
+                "step_cap": step_cap or 64 * L, "max_gapo": opt.max_gapo,
                 "max_gape": opt.max_gape, "max_top2": opt.max_top2,
                 "seed_len": opt.seed_len,
                 "max_seed_diff": opt.max_seed_diff,
@@ -177,14 +178,23 @@ def _device_run(world, axis=None):
         md_t = jnp.asarray(md_np)
 
         @jax.jit
-        def step(s, r, q, ln):
+        def step(s, r, q, ln, fbf):
             return qc_step_full(fm, tables, opt_args, s, r, q, ln,
                                 bitmaps=None, md_table=md_t,
-                                pair_mode=True)
+                                pair_mode=True, fb_fill=fbf,
+                                return_per_read=per_read)
 
+        fbf = None
+        if fb_fill is not None:
+            fbf = (jnp.asarray(fb_fill[0]), jnp.asarray(fb_fill[1]))
         acc = step(jnp.asarray(seqs), jnp.asarray(rseqs),
-                   jnp.asarray(quals), jnp.asarray(lens))
+                   jnp.asarray(quals), jnp.asarray(lens), fbf)
+        pr = None
+        if per_read:
+            acc, pr = acc
         acc["n_pcr_dup"] = count_pcr_dups(acc.pop("_pair_keys"))
+        if per_read:
+            return idx, acc, pr
         return idx, acc
     from fastquick_tpu.parallel.mesh import (make_mesh,
                                              make_sharded_qc_full_step)
@@ -272,3 +282,45 @@ def test_mesh_equals_single_with_drand48(world):
     for k in rs:
         assert np.array_equal(np.asarray(rs[k]),
                               np.asarray(rm[k])[:npair]), k
+
+
+def test_rows_match_host_under_forced_fallback(world, host_state):
+    """Stream exactness WITH fallback present (removes the PARITY.md
+    caveat): force kernel fallback with a tiny pool, host-align the
+    fallback reads, re-run with `fb_fill` -- the device drand48 stream
+    must then consume the filled reads' draws in order and every
+    .InsertSizeTable row must still equal the host's byte-for-byte."""
+    from test_pe_qc_differential import _load, _read_pairs
+
+    from fastquick_tpu.align.engine import HostEngine
+    from fastquick_tpu.ops.qc_full import pack_host_hits
+
+    # pass 1: tiny pool -> some reads overflow to fallback
+    idx, acc1, pr = _device_run(world, pool=96, per_read=True)
+    fb_mask = np.asarray(pr["fallback"]) != 0
+    assert fb_mask.any(), "pool=96 forced no fallback; test is vacuous"
+
+    # host-align the whole batch once (the fallback rows' hit lists)
+    idx2, opt, _ = _load(world)
+    b0, b1 = _read_pairs(world, idx2, opt)
+    eng = HostEngine(idx2)
+    eng.align_batch([p for p in b0 if not p.filtered], opt)
+    eng.align_batch([p for p in b1 if not p.filtered], opt)
+    flat = []
+    for i in range(len(b0)):
+        flat.append(b0[i])
+        flat.append(b1[i])
+    rows_idx = [b for b in range(len(flat)) if b < fb_mask.shape[0]
+                and fb_mask[b]]
+    fb_n, fb_rows = pack_host_hits([flat[b] for b in rows_idx], rows_idx,
+                                   fb_mask.shape[0])
+
+    # pass 2: same tiny pool + fills -> zero effective fallback
+    idx, acc = _device_run(world, pool=96, fb_fill=(fb_n, fb_rows))
+    assert int(acc["n_fallback"]) == 0
+    col = host_state["collector"]
+    assert np.array_equal(np.asarray(acc["isize_dist"], np.int64),
+                          np.asarray(col.insert_size_dist, np.int64))
+    dev_rows = _render_rows(idx, acc["_pair_rows"], host_state["names"],
+                            host_state["n_pairs"])
+    assert dev_rows == host_state["rows"]
