@@ -127,6 +127,58 @@ def infer_isize(pairs: list[tuple[Read, Read]], ii: IsizeInfo,
     return 0
 
 
+def infer_isize_from_hist_f64(hist, max_len: int, ap_prior: float,
+                              l_pac: int) -> IsizeInfo:
+    """infer_isize (bwape.c:49-118) in float64 from an EXACT integer
+    isize histogram (the device's psum'd `_isize_hist`): the product
+    recipe for host-side mate rescue over device batches -- the window
+    math then bit-matches the host pipeline's own inference (the f32
+    on-device `_ii` is only used inside the device pairing sweep)."""
+    import numpy as _np
+
+    ii = IsizeInfo()
+    ii.ap_prior = ap_prior
+    hist = _np.asarray(hist, _np.int64)
+    tot = int(hist.sum())
+    if tot < 20:
+        return ii
+    cum = _np.cumsum(hist)
+
+    def q_at(idx):
+        # sorted[idx] (0-based) = smallest v with cum(v) >= idx + 1
+        return int(_np.argmax(cum >= idx + 1))
+
+    p25 = q_at(int(tot * 0.25 + 0.5))
+    p75 = q_at(int(tot * 0.75 + 0.5))
+    tmp = int(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499)
+    ii.low = tmp if tmp > max_len else max_len
+    ii.high = int(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499)
+    v = _np.arange(hist.shape[0], dtype=_np.int64)
+    in_win = (v >= ii.low) & (v <= ii.high)
+    hw = hist[in_win]
+    vw = v[in_win]
+    n = int(hw.sum())
+    ii.avg = float((hw * vw).sum()) / n
+    # C quirk: the variance accumulator starts at -1.0 (bwape.c:85-88)
+    var = -1.0 + float((hw * (vw - ii.avg) ** 2).sum())
+    ii.std = math.sqrt(var / n)
+    y = 1.0
+    while y < 10.0:
+        if 0.5 * math.erfc(y / math.sqrt(2)) \
+                < ap_prior / l_pac * (y * ii.std + ii.avg):
+            break
+        y += 0.01
+    ii.high_bayesian = int(y * ii.std + ii.avg + 0.499)
+    n_ap = int(hist[v > ii.high_bayesian].sum())
+    ii.ap_prior = 0.01 * (n_ap + 0.01) / tot
+    if ii.ap_prior < ap_prior:
+        ii.ap_prior = ap_prior
+    if math.isnan(ii.std) or p75 > 100000:
+        ii.low = ii.high = ii.high_bayesian = 0
+        ii.avg = ii.std = -1.0
+    return ii
+
+
 def pairing(p: list[Read], alns: list[list[Aln]], arr: list[int],
             opt: PeOpt, s_mm: int, ii: IsizeInfo) -> int:
     """bwape.c:119-215 (BWA_PET_STD only).  arr entries are

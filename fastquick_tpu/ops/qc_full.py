@@ -259,6 +259,49 @@ def pack_host_hits(reads, rows_idx, B, A_MAX_=A_MAX):
     return fb_n, fb_rows
 
 
+def pack_pe_fill(pairs, pair_idx, P):
+    """Pack host-rescued/refined pair ends for qc_step_full(pe_fill=...).
+
+    pairs: [(p0, p1)] Read objects AFTER align.pe.bwa_paired_sw (and
+    refine); pair_idx: their pair-row indices in the device batch.
+    The device SW kernel computes the rescue scores in the product path
+    (align/pe._batch_local_sw, default-on in device mode); this packs
+    the resulting end state so device pair statuses and accumulators
+    carry POST-rescue/refine positions (deletes deviation (c))."""
+    from ..align.dp import FROM_D, FROM_M, FROM_S
+    from ..align.pe import BWA_TYPE_NO_MATCH, SAM_FPP
+
+    fill = {"mask": np.zeros(P, np.int32)}
+    for f in ("pos", "strand", "mapq", "seq_q", "n_mm", "n_gapo",
+              "n_gape", "proper", "mapped", "cl_l", "cl_r", "span"):
+        fill[f + "0"] = np.zeros(P, np.int32)
+        fill[f + "1"] = np.zeros(P, np.int32)
+    for (p0, p1), i in zip(pairs, pair_idx):
+        fill["mask"][i] = 1
+        for j, p in ((0, p0), (1, p1)):
+            fill[f"pos{j}"][i] = p.pos
+            fill[f"strand{j}"][i] = p.strand
+            fill[f"mapq{j}"][i] = p.mapQ
+            fill[f"seq_q{j}"][i] = p.seQ
+            fill[f"n_mm{j}"][i] = p.n_mm
+            fill[f"n_gapo{j}"][i] = p.n_gapo
+            fill[f"n_gape{j}"][i] = p.n_gape
+            fill[f"proper{j}"][i] = 1 if (p.extra_flag & SAM_FPP) else 0
+            fill[f"mapped{j}"][i] = 1 if p.type != BWA_TYPE_NO_MATCH \
+                else 0
+            # soft-clip widths (rescued ends): the host collector's
+            # pos - cl_left insert arithmetic + no-clip dup gate
+            fill[f"span{j}"][i] = p.len
+            if p.cigar:
+                if p.cigar[0][0] == FROM_S:
+                    fill[f"cl_l{j}"][i] = p.cigar[0][1]
+                if p.cigar[-1][0] == FROM_S:
+                    fill[f"cl_r{j}"][i] = p.cigar[-1][1]
+                fill[f"span{j}"][i] = sum(
+                    ln for op, ln in p.cigar if op in (FROM_M, FROM_D))
+    return fill
+
+
 def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  seqs, rseqs, quals, lens,
                  bitmaps=None, thresh: int = 3,
@@ -270,6 +313,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  last_ii: jax.Array | None = None,
                  last_drand: jax.Array | None = None,
                  fb_fill: tuple | None = None,
+                 pe_fill: dict | None = None,
                  axis_names: tuple = ()):
     """One shard's full QC step (traceable; runs inside shard_map).
 
@@ -417,6 +461,81 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
             occ0, occ1, alns[0::2], alns[1::2], se[0], se[1], pair_ok,
             ii, int(opt_args.get("s_mm", 3)), max_isize, _G_LOG_N)
 
+        # ---- second-phase expansion (removes deviation (b)): pairs the
+        # k_occ cap truncated re-expand at k_occ2 and re-run the sweep.
+        # The reference pairs every <=max_occ=100000-occurrence end
+        # (src/BwtMapper.cpp:721-907); the device handles the common
+        # case densely and the repeat-heavy tail through this gathered
+        # OVF_CAP-wide pass -- only pairs beyond k_occ2 (or beyond
+        # OVF_CAP per batch) remain counted in n_pair_ovf.
+        k_occ2 = int(opt_args.get("k_occ2", 512))
+        ovf_cap = int(opt_args.get("ovf_cap", 64))
+        fits2 = (occ0["n_occ"] <= k_occ2) & (occ1["n_occ"] <= k_occ2)
+        ovf_pair = mapped0 & mapped1 & ~occ_fit & fits2
+        # the OVF_CAP budget counts pairs in GLOBAL read order so a
+        # mesh run selects exactly the pairs a single-device run would
+        # (mesh == single bitwise)
+        base = jnp.int32(0)
+        if axis_names:
+            cnt_l = ovf_pair.astype(jnp.int32).sum()
+            g_cnt = cnt_l
+            for ax in axis_names:
+                g_cnt = jax.lax.all_gather(g_cnt, ax)
+            g_cnt = g_cnt.reshape(-1)
+            r_of = jnp.int32(0)
+            for ax in axis_names[::-1]:
+                r_of = (r_of * jax.lax.axis_size(ax)
+                        + jax.lax.axis_index(ax))
+            base = jnp.where(jnp.arange(g_cnt.shape[0]) < r_of,
+                             g_cnt, 0).sum()
+        rank = base + jnp.cumsum(ovf_pair.astype(jnp.int32)) - 1
+        within = ovf_pair & (rank < ovf_cap)
+        lrank = jnp.cumsum(within.astype(jnp.int32)) - 1
+        Pp = mapped0.shape[0]
+        sel = jnp.zeros(ovf_cap, jnp.int32).at[
+            jnp.where(within, lrank, ovf_cap)].set(
+            jnp.arange(Pp, dtype=jnp.int32), mode="drop")
+        live = jnp.arange(ovf_cap) < within.astype(jnp.int32).sum()
+        a0s, a1s = alns[0::2][sel], alns[1::2][sel]
+        se0s = {kk: vv[sel] for kk, vv in se[0].items()}
+        se1s = {kk: vv[sel] for kk, vv in se[1].items()}
+        occ0b = expand_occurrences(fm_arrays["sa"], n_text,
+                                   half(n_aln, 0)[sel], a0s,
+                                   se0s["len"], k_occ2)
+        occ1b = expand_occurrences(fm_arrays["sa"], n_text,
+                                   half(n_aln, 1)[sel], a1s,
+                                   se1s["len"], k_occ2)
+        out0b, out1b, cnt_chgb = pairing_sweep(
+            occ0b, occ1b, a0s, a1s, se0s, se1s, live, ii,
+            int(opt_args.get("s_mm", 3)), max_isize, _G_LOG_N)
+        sel_w = jnp.where(live, sel, Pp)  # drop dead rows in the merge
+        for f in out0:
+            out0[f] = out0[f].at[sel_w].set(out0b[f], mode="drop")
+            out1[f] = out1[f].at[sel_w].set(out1b[f], mode="drop")
+        cnt_chg = cnt_chg + cnt_chgb
+        pair_ok = pair_ok | within
+
+        # ---- mate-rescue / refine injection (removes deviation (c)):
+        # pe_fill carries host-computed post-rescue/post-refine end
+        # state for candidate pairs (the device SW kernel does the
+        # scoring in the product path; the cigar/MD glue is host work).
+        # Injected ends flow into pair statuses, per-base accumulation
+        # and the .InsertSizeTable rows exactly like kernel-mapped ends.
+        if pe_fill is not None:
+            fmask = pe_fill["mask"] != 0
+            for j, out in ((0, out0), (1, out1)):
+                for f in ("pos", "strand", "mapq", "seq_q", "n_mm",
+                          "n_gapo", "n_gape"):
+                    out[f] = jnp.where(fmask, pe_fill[f"{f}{j}"], out[f])
+                out["proper"] = jnp.where(
+                    fmask, pe_fill[f"proper{j}"] != 0, out["proper"])
+                zcl = jnp.zeros_like(out["pos"])
+                out["cl_l"] = jnp.where(fmask, pe_fill[f"cl_l{j}"], zcl)
+                out["cl_r"] = jnp.where(fmask, pe_fill[f"cl_r{j}"], zcl)
+                # cigar reference span (sum of M/D) for the demotion
+                out["span"] = jnp.where(fmask, pe_fill[f"span{j}"],
+                                        out["len"])
+
         def ileave(a0, a1):
             return jnp.stack([a0, a1], axis=1).reshape(-1)
 
@@ -426,6 +545,12 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         n_mm = ileave(out0["n_mm"], out1["n_mm"])
         n_gapo = ileave(out0["n_gapo"], out1["n_gapo"])
         n_gape = ileave(out0["n_gape"], out1["n_gape"])
+        if pe_fill is not None:
+            # a rescued previously-unmapped end becomes mapped
+            fmask2 = ileave(fmask, fmask)
+            fmap = ileave(pe_fill["mapped0"] != 0,
+                          pe_fill["mapped1"] != 0)
+            mapped = jnp.where(fmask2, fmap, mapped)
 
         # contig-overhang demotion (AddAlignment, StatCollector.cpp:
         # 725-734; ungapped pos_end = pos + len -- gapped ends are a
@@ -435,7 +560,13 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                                           tables.contig_off.shape[0] - 1)]
         clnv = tables.contig_len[jnp.clip(cid, 0,
                                           tables.contig_len.shape[0] - 1)]
-        mapped = mapped & (cid >= 0) & (pos + lens - offv <= clnv)
+        # pos_end = pos + cigar ref span (bwase.c:419-433); span == len
+        # except for rescue-injected cigared ends
+        span_il = lens
+        if pe_fill is not None:
+            span_il = jnp.where(fmask2,
+                                ileave(out0["span"], out1["span"]), lens)
+        mapped = mapped & (cid >= 0) & (pos + span_il - offv <= clnv)
         mapped0, mapped1 = half(mapped, 0), half(mapped, 1)
 
         ps = pair_status(tables.contig_id, tables.contig_off,
@@ -446,10 +577,16 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
             "pair_status_counts": ps["status_counts"],
             "n_pair_reads": ps["n_pair_reads"],
             "n_pair_cnt_chg": cnt_chg,
-            "n_pair_ovf": (mapped0 & mapped1
-                           & ~occ_fit).astype(jnp.int32).sum(),
+            "n_pair_ovf": (mapped0 & mapped1 & ~occ_fit
+                           & ~within).astype(jnp.int32).sum(),
             "_pair_keys": ps["dup_keys"],
             "_ii": ii,
+            # the EXACT psum'd integer isize histogram: host-side f64
+            # inference over it (align/pe.infer_isize_from_hist_f64)
+            # bit-matches the host pipeline's windows -- the mate-rescue
+            # recipe's isize source
+            "_isize_hist": hist,
+            "_isize_maxlen": mlen,
             # per-pair row data (NOT psum-able; the mesh wrapper
             # all-gathers these in global read order so the host can
             # write identical .InsertSizeTable rows for any mesh shape)
@@ -463,6 +600,13 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                 "len0": out0["len"], "len1": out1["len"],
                 "proper": out0["proper"],
                 "mapped0": mapped0, "mapped1": mapped1,
+                # per-end diff counts + seQ: enough host-side state to
+                # drive the exact bwa_paired_sw rescue for candidate
+                # pairs (the pe_fill recipe)
+                "n_mm0": out0["n_mm"], "n_mm1": out1["n_mm"],
+                "n_gapo0": out0["n_gapo"], "n_gapo1": out1["n_gapo"],
+                "n_gape0": out0["n_gape"], "n_gape1": out1["n_gape"],
+                "seq_q0": out0["seq_q"], "seq_q1": out1["seq_q"],
             },
         }
 

@@ -166,6 +166,9 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
             # histogram, so it is identical on every shard: pass it
             # through the final psum untouched
             ii = out.pop("_ii")
+            # already psum'd inside the step: carry around the psum loop
+            ih = out.pop("_isize_hist")
+            iml = out.pop("_isize_maxlen")
             # PCR-dup counting needs the GLOBAL key multiset (the
             # reference's duplicate_table spans the whole run): gather
             # the per-shard keys; the count is computed identically on
@@ -212,6 +215,8 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
 
             out["n_pcr_dup"] = count_pcr_dups(gkeys.reshape(-1, 3))
             out["_ii"] = ii
+            out["_isize_hist"] = ih
+            out["_isize_maxlen"] = iml
             out["_pair_rows"] = rows
         if dstate is not None:
             out["_drand_state"] = dstate

@@ -130,7 +130,7 @@ def host_state(world):
 
 
 def _device_run(world, axis=None, pool=512, step_cap=None, fb_fill=None,
-                per_read=False):
+                pe_fill=None, per_read=False):
     from test_pe_qc_differential import _load, _read_pairs
 
     from fastquick_tpu.align.opts import PeOpt, bwa_cal_maxdiff
@@ -178,17 +178,18 @@ def _device_run(world, axis=None, pool=512, step_cap=None, fb_fill=None,
         md_t = jnp.asarray(md_np)
 
         @jax.jit
-        def step(s, r, q, ln, fbf):
+        def step(s, r, q, ln, fbf, pef):
             return qc_step_full(fm, tables, opt_args, s, r, q, ln,
                                 bitmaps=None, md_table=md_t,
                                 pair_mode=True, fb_fill=fbf,
+                                pe_fill=pef,
                                 return_per_read=per_read)
 
         fbf = None
         if fb_fill is not None:
             fbf = (jnp.asarray(fb_fill[0]), jnp.asarray(fb_fill[1]))
         acc = step(jnp.asarray(seqs), jnp.asarray(rseqs),
-                   jnp.asarray(quals), jnp.asarray(lens), fbf)
+                   jnp.asarray(quals), jnp.asarray(lens), fbf, pe_fill)
         pr = None
         if per_read:
             acc, pr = acc
