@@ -427,7 +427,13 @@ def main() -> int:
                 / max(iters * engine.lanes, 1), 3),
             "bytes_per_iter": bpi,
             "achieved_GBps": round(gbs, 1),
+            # the byte model counts every plane pass; for the RESIDENT
+            # kernel those planes live in VMEM, so this is a VMEM-
+            # bandwidth proxy (it can exceed the HBM figure) -- for the
+            # XLA path it approximates real HBM traffic
             "hbm_sol_frac": round(gbs * 1e9 / HBM_BW, 3),
+            "traffic_domain": ("vmem" if engine.pallas == "resident"
+                               else "hbm"),
         })
         print(json.dumps(out))
         return 0

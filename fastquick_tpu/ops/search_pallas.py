@@ -925,12 +925,17 @@ def _resident_kernel(params, tab, consts, out_seed,
                 cp.start()
                 cp.wait()
 
-                def gbody(b, _):
-                    r = idxs[0, b]
-                    gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
+                def gbody(b0, _):
+                    # 32-way unrolled: the loop overhead inside the
+                    # resident kernel measured ~18us/iter at 2048 rows
+                    # (0.98 -> 0.75s dispatch at unroll 8)
+                    for u in range(32):
+                        b = b0 * 32 + u
+                        r = idxs[0, b]
+                        gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
                     return 0
 
-                jax.lax.fori_loop(0, 2 * B, gbody, 0)
+                jax.lax.fori_loop(0, (2 * B) // 32, gbody, 0)
             gt = gth[:].T
             ck_rows = gt[0:4]
             cnts = []
@@ -1641,12 +1646,14 @@ def _width_kernel(params, tab, blocks, w_hbm, bid_hbm,
             cpg.start()
             cpg.wait()
 
-            def gbody(b, _):
-                r = idxs[0, b]
-                gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
+            def gbody(b0, _):
+                for u in range(32):
+                    b = b0 * 32 + u
+                    r = idxs[0, b]
+                    gth[pl.ds(b, 1), :] = tab[pl.ds(r, 1), :]
                 return 0
 
-            jax.lax.fori_loop(0, 2 * WB, gbody, 0)
+            jax.lax.fori_loop(0, (2 * WB) // 32, gbody, 0)
             gt = gth[:].T
             ck_rows = gt[0:4]
             widx = rem >> 4
