@@ -314,6 +314,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
                  last_drand: jax.Array | None = None,
                  fb_fill: tuple | None = None,
                  pe_fill: dict | None = None,
+                 fmtab=None, nbp: int = 0,
                  axis_names: tuple = ()):
     """One shard's full QC step (traceable; runs inside shard_map).
 
@@ -347,6 +348,12 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
     md = jnp.where(kept, md_of_len, -1)
     use_seed = (lens > int(opt_args.get("seed_len", 32))) \
         if opt_args.get("use_seed", True) else jnp.zeros(B, bool)
+    # the RESIDENT Mosaic kernel + Pallas width kernel carry over to
+    # the mesh path when the caller supplies the packed VMEM FM table
+    # (ops/search_pallas.pack_fm_table); CPU callers (tests, dryrun)
+    # pass fmtab=None and keep the XLA lockstep formulation
+    use_pallas = "resident" if (fmtab is not None and B % 128 == 0) \
+        else False
     n_aln, alns, fallback, _rounds, _busy = _search_kernel(
         fm_arrays["words"], fm_arrays["occ"], fm_arrays["sa"],
         fm_arrays["L2"], fm_arrays["primary"],
@@ -362,7 +369,7 @@ def qc_step_full(fm_arrays: dict, tables: SiteTables, opt_args: dict,
         max_top2=int(opt_args.get("max_top2", 30)),
         seed_len=int(opt_args.get("seed_len", 32)),
         max_seed_diff=int(opt_args.get("max_seed_diff", 2)),
-        n_text=n_text)
+        n_text=n_text, pallas=use_pallas, fmtab=fmtab, nbp=int(nbp))
     if fb_fill is not None:
         fb_n, fb_rows = fb_fill
         has_fill = (fallback != 0) & (fb_n >= 0)

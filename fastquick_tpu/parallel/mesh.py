@@ -132,7 +132,8 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
                               bitmaps=None, thresh: int = 3,
                               pileup_cap: int = 64,
                               axis: str | tuple[str, ...] = "dp",
-                              md_table=None, pair_mode: bool = False):
+                              md_table=None, pair_mode: bool = False,
+                              fmtab=None, nbp: int = 0):
     """The PRODUCT multi-chip step: reads data-parallel over `axis`,
     index + site tables replicated, the full inexact engine + the
     complete StatCollector accumulator set per shard, every tensor
@@ -156,6 +157,7 @@ def make_sharded_qc_full_step(mesh: Mesh, fm_arrays: dict,
                            pileup_cap=pileup_cap, md_table=md_table,
                            pair_mode=pair_mode, last_ii=last_ii,
                            fb_fill=(fb_n, fb_rows),
+                           fmtab=fmtab, nbp=nbp,
                            axis_names=tuple(reversed(axes)))
         # drand48 stream state: computed from the gathered global scan,
         # identical on every shard -- carry it around the psum untouched
