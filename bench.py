@@ -470,7 +470,7 @@ def main() -> int:
             for key in ("kernel", "iters", "fallback_reads",
                         "fallback_causes", "busy_lane_frac",
                         "bytes_per_iter", "achieved_GBps",
-                        "hbm_sol_frac"):
+                        "hbm_sol_frac", "traffic_domain"):
                 out[f"tpu_{key}"] = tpu.get(key)
         except Exception as e:  # relay hang/timeout: report null, not 0
             out["tpu_reads_per_sec"] = None
