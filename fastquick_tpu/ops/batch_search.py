@@ -112,9 +112,12 @@ DEF_SCATTER = int(os.environ.get("FQ_BS_SCATTER", 0))
 # (Mosaic inner scan, XLA outer round; kept for ablations).
 DEF_PALLAS = int(os.environ.get("FQ_BS_PALLAS", 1))
 # VMEM budget the resident kernel must fit in (scratch + packed FM
-# table); matches the vmem_limit_bytes passed to the Mosaic compile
-# minus headroom for compiler temporaries
-PALLAS_VMEM_BUDGET = 100 * 1024 * 1024
+# table).  Calibration (r5, production 6.5 Mbp panel): the estimator
+# under-counts Mosaic's scoped extras (DMA staging, compiler
+# temporaries) by ~27 MB -- an est of 93 MB compiled to an actual
+# 120.5 MB and overflowed the 120 MB scoped limit -- so the gate must
+# leave ~30 MB of headroom below vmem_limit_bytes
+PALLAS_VMEM_BUDGET = 90 * 1024 * 1024
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -1000,35 +1003,61 @@ class BatchEngine:
                   | (seqs[:, 1::2].astype(np.uint8) << 4))
         aux_d = jnp.asarray(np.stack(
             [lens, md, use_seed.astype(np.int32)], axis=1))
-        meta_d, rows_d, rounds, busy = _search_kernel(
-            self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
-            self.dev.primary, jnp.asarray(packed), aux_d,
-            aux_d, aux_d,
-            B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
-            CH_STEPS=int(self.chain),
-            # auto step cap: the resident kernel refills lanes
-            # in-kernel, so a grinding read only wastes its own lane --
-            # a 4096 cap converts most stepcap fallbacks to device
-            # results at ~3% extra busy steps (r4 measurement); the XLA
-            # path keeps the tight cap (whole-batch rounds stall on it)
-            step_cap=int(self.step_cap
-                         or (max(1536, 6 * Lpad) if use_pallas == "resident"
-                             else max(768, 3 * Lpad))), s_mm=opt.s_mm,
-            s_gapo=opt.s_gapo, s_gape=opt.s_gape, max_gapo=int(max_gapo),
-            max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,
-            max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
-            max_top2=opt.max_top2, seed_len=opt.seed_len,
-            max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
-            scatter=self.scatter, pallas=use_pallas, fmtab=self.fmtab,
-            nbp=self.nbp, compact=True, packed_seqs=True,
-            ablate=tuple(sorted(
-                x for x in os.environ.get("FQ_BS_ABLATE", "").split(",")
-                if x)))
-        if prof:
-            jax.block_until_ready((meta_d, rows_d))
-            t_disp = _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-        meta = np.asarray(meta_d)  # [n_aln | offs | fallback] flat
+        try:
+            meta_d, rows_d, rounds, busy = _search_kernel(
+                self.dev.words, self.dev.occ, self.dev.sa, self.dev.L2,
+                self.dev.primary, jnp.asarray(packed), aux_d,
+                aux_d, aux_d,
+                B=int(lanes), NP=int(self.pool), K_INNER=int(self.inner),
+                CH_STEPS=int(self.chain),
+                # auto step cap: the resident kernel refills lanes
+                # in-kernel, so a grinding read only wastes its own
+                # lane -- a 4096 cap converts most stepcap fallbacks to
+                # device results at ~3% extra busy steps (r4
+                # measurement); the XLA path keeps the tight cap
+                # (whole-batch rounds stall on it)
+                step_cap=int(self.step_cap
+                             or (max(1536, 6 * Lpad)
+                                 if use_pallas == "resident"
+                                 else max(768, 3 * Lpad))), s_mm=opt.s_mm,
+                s_gapo=opt.s_gapo, s_gape=opt.s_gape,
+                max_gapo=int(max_gapo),
+                max_gape=opt.max_gape, indel_end_skip=opt.indel_end_skip,
+                max_del_occ=opt.max_del_occ, max_entries=opt.max_entries,
+                max_top2=opt.max_top2, seed_len=opt.seed_len,
+                max_seed_diff=opt.max_seed_diff, n_text=self.dev.n,
+                scatter=self.scatter, pallas=use_pallas, fmtab=self.fmtab,
+                nbp=self.nbp, compact=True, packed_seqs=True,
+                ablate=tuple(sorted(
+                    x for x in os.environ.get("FQ_BS_ABLATE",
+                                              "").split(",")
+                    if x)))
+            if prof:
+                jax.block_until_ready((meta_d, rows_d))
+                t_disp = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+            # the first asarray forces dispatch: compile/relay failures
+            # surface here
+            meta = np.asarray(meta_d)  # [n_aln | offs | fallback] flat
+        except Exception as e:
+            # Mosaic compile / relay failure must DEGRADE, never crash
+            # the align run (a VMEM OOM at production index scale
+            # surfaced exactly here: the 6.5 Mbp panel's packed table
+            # pushed the resident kernel 553 KB over the scoped limit)
+            from ..utils.logging import warning
+
+            warning("device search failed (%s: %.160s); %s",
+                    type(e).__name__, str(e),
+                    "retrying with the XLA device path" if use_pallas
+                    else "falling back to the exact host engine")
+            if self.pallas:
+                self.pallas = False  # stop re-attempting Mosaic
+                return self._run_chunk(todo, opt)
+            self.host.align_batch(todo, opt)
+            self.last_fallback += len(todo)
+            self.last_fb_causes["devfail"] = (
+                self.last_fb_causes.get("devfail", 0) + len(todo))
+            return
         n_aln = meta[:Npad]
         offs = meta[Npad:2 * Npad]
         fallback = meta[2 * Npad:]

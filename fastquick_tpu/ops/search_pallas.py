@@ -67,15 +67,20 @@ def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
 
 def pack_fm_table(dev: DeviceFM, fat: bool = True
                   ) -> tuple[np.ndarray, int]:
-    """Pack occ checkpoints + bwt words into one (2*nbp, W) int32 table.
+    """Pack occ checkpoints + bwt words into one int32 table of TWO
+    logical rows per 128-lane physical row.
 
-    fat=True (W=24): [occ c0..c3 | words w0..w7 | cum c8 | 4 pad] where
-    cum int32 j packs the 4 per-char base counts of words [0, j) of the
-    block as bytes (<= 112 each) -- the kernel then popcounts only the
-    single boundary word instead of all 8 with per-word masks.
-    fat=False (W=16): [occ4 | words8 | pad4].  VMEM cost is identical:
-    Mosaic lane-pads minor dims to 128 either way.  Row index =
-    sel * nbp + block.  Returns (table, nbp).
+    A logical row is 64 lanes: [occ c0..c3 | words w0..w7 | cum c8 |
+    pad] where cum int32 j packs the 4 per-char base counts of words
+    [0, j) of the block as bytes (<= 112 each) -- the kernel popcounts
+    only the single boundary word.  Mosaic lane-pads the minor dim to
+    128, so a 24-wide row would waste 5.3x VMEM; pairing consecutive
+    logical rows (phys = idx >> 1, lane offset (idx & 1) * 64) halves
+    the resident footprint -- at the production 6.5 Mbp panel the
+    unpaired layout pushed the resident kernel 553 KB past the scoped
+    VMEM limit.  Logical row index = sel * nbp + block (nbp is a
+    multiple of 8, so pairs never straddle the strand boundary).
+    Returns (table (nbp, 128), nbp).
     """
     occ = np.asarray(dev.occ)      # (2, nbo, 4) int32
     words = np.asarray(dev.words)  # (2, nbw, 8) uint32
@@ -98,7 +103,11 @@ def pack_fm_table(dev: DeviceFM, fat: bool = True
                       | (cume[..., 2] << 16) | (cume[..., 3] << 24))
             r[:nbw, 12:20] = packed.astype(np.int32)
         rows.append(r)
-    return np.concatenate(rows, axis=0), nbp
+    flat = np.concatenate(rows, axis=0)  # (2*nbp, width) logical rows
+    wide = np.zeros((nbp, 128), dtype=np.int32)
+    wide[:, :width] = flat[0::2]
+    wide[:, 64:64 + width] = flat[1::2]
+    return wide, nbp
 
 
 def _aln_score(mm, go, ge, s_mm, s_gapo, s_gape):
@@ -127,7 +136,8 @@ def resident_vmem_bytes(B: int, NP: int, L: int, SL: int, tabw: int,
     scratch += B * 8 * OSUB * 4          # outp
     scratch += 2 * B * _lanepad(tabw) * 4  # gth
     scratch += _lanepad(2 * B) * 4 + B * _lanepad(4) * 4  # idxv + stage_v
-    tab = 2 * nbp * _lanepad(tabw) * 4
+    # paired table: two logical rows per 128-lane physical row
+    tab = nbp * 128 * 4
     return scratch + tab
 
 
@@ -273,8 +283,12 @@ def _kernel(params, tab,
         blk = kp >> 7
         rem = kp - (blk << 7)
         # clip guards the DMA against state-invariant violations (a
-        # corrupt strand bit would otherwise fault the chip)
-        idxv[:] = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
+        # corrupt strand bit would otherwise fault the chip).  The
+        # table pairs two logical rows per physical 128-lane row
+        # (pack_fm_table): phys = idx >> 1, lane offset (idx & 1) * 64
+        lrow = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
+        l_odd = (lrow & 1) == 1
+        idxv[:] = lrow >> 1
         if "nogather" not in ablate:  # profiling only: results wrong
             cp = pltpu.make_async_copy(idxv, idxs, sem)
             cp.start()
@@ -286,11 +300,13 @@ def _kernel(params, tab,
                 return 0
 
             jax.lax.fori_loop(0, 2 * B, gbody, 0)
-        gt = gth[:].T  # (TABW, 2B)
-        ck_rows = gt[0:4]
+        gt = gth[:].T  # (128, 2B)
+
+        def gl(i):  # logical-row element i per lane (paired layout)
+            return jnp.where(l_odd, gt[64 + i:65 + i], gt[i:i + 1])
         # in-block prefix counts (__occ_aux popcount, libbwa/bwt.h:89-96)
         cnts = [jnp.zeros((1, 2 * B), jnp.int32) for _ in range(4)]
-        if tab.shape[1] >= 24 and "norank" not in ablate:
+        if "norank" not in ablate:
             # fat rows carry per-word cumulative counts: select the
             # boundary word + its cum bytes, popcount ONE masked word
             widx = rem >> 4
@@ -299,8 +315,8 @@ def _kernel(params, tab,
             cum_sel = jnp.zeros((1, 2 * B), jnp.int32)
             for w in range(8):
                 is_w = widx == w
-                w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
-                cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
+                w_sel = jnp.where(is_w, gl(4 + w), w_sel)
+                cum_sel = jnp.where(is_w, gl(12 + w), cum_sel)
             sh = 32 - 2 * rem16  # rem16 in [0,15] -> sh in [2,32]
             mask_w = jnp.where(
                 rem16 <= 0, 0,
@@ -312,23 +328,8 @@ def _kernel(params, tab,
                 match = (~y) & _EVEN_I32 & mask_w
                 cnts[c] = ((lsr(cum_sel, 8 * c) & 255)
                            + jax.lax.population_count(match))
-        else:
-            words_rng = () if "norank" in ablate else range(8)
-            for w in words_rng:
-                pw = jnp.clip(rem - 16 * w, 0, 16)
-                sh = jnp.clip(32 - 2 * pw, 0, 31)
-                mask_w = jnp.where(pw >= 16, _FULL_I32,
-                                   jax.lax.shift_left(
-                                       jnp.full_like(sh, _FULL_I32), sh))
-                mask_w = jnp.where(pw <= 0, 0, mask_w)
-                x_w = gt[4 + w:5 + w]
-                for c in range(4):
-                    xc = x_w ^ _PAT_I32[c]
-                    y = xc | lsr(xc, 1)
-                    match = (~y) & _EVEN_I32 & mask_w
-                    cnts[c] = cnts[c] + jax.lax.population_count(match)
         occr = jnp.concatenate(
-            [ck_rows[c:c + 1] + cnts[c] for c in range(4)], axis=0)
+            [gl(c) + cnts[c] for c in range(4)], axis=0)
         cnt_k4 = occr[:, :B]   # (4, B)
         cnt_l4 = occr[:, B:]
         L2row = [jnp.where(sel == 0, L2F[c], L2R[c]) for c in range(4)]
@@ -783,7 +784,6 @@ def _resident_kernel(params, tab, consts, out_seed,
                      indel_end_skip, max_del_occ, max_entries, max_top2,
                      seed_len, max_seed_diff, step_cap, ablate=()):
     CL = consts_layout(L, SL)
-    fat = tab.shape[1] >= 24
     NW = NP // 32  # free-slot bitmap words per lane
 
     def iota0(w, lanes=B):
@@ -919,7 +919,11 @@ def _resident_kernel(params, tab, consts, out_seed,
             kp = jnp.clip(kp, 0, n)
             blk = kp >> 7
             rem = kp - (blk << 7)
-            idxv[:] = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
+            # paired table (pack_fm_table): phys = idx >> 1, lane
+            # offset (idx & 1) * 64
+            lrow = jnp.clip(ss * NBP + blk, 0, 2 * NBP - 1)
+            l_odd = (lrow & 1) == 1
+            idxv[:] = lrow >> 1
             if "nogather" not in ablate:  # profiling only: results wrong
                 cp = pltpu.make_async_copy(idxv, idxs, sem_g)
                 cp.start()
@@ -937,46 +941,32 @@ def _resident_kernel(params, tab, consts, out_seed,
 
                 jax.lax.fori_loop(0, (2 * B) // 32, gbody, 0)
             gt = gth[:].T
-            ck_rows = gt[0:4]
+
+            def gl(i):  # logical-row element i per lane
+                return jnp.where(l_odd, gt[64 + i:65 + i], gt[i:i + 1])
+
+            widx = rem >> 4
+            rem16 = rem & 15
+            w_sel = jnp.zeros((1, 2 * B), jnp.int32)
+            cum_sel = jnp.zeros((1, 2 * B), jnp.int32)
+            for w in range(8):
+                is_w = widx == w
+                w_sel = jnp.where(is_w, gl(4 + w), w_sel)
+                cum_sel = jnp.where(is_w, gl(12 + w), cum_sel)
+            sh = 32 - 2 * rem16
+            mask_w = jnp.where(
+                rem16 <= 0, 0,
+                jax.lax.shift_left(jnp.full_like(sh, _FULL_I32),
+                                   jnp.clip(sh, 0, 31)))
             cnts = []
-            if fat:
-                widx = rem >> 4
-                rem16 = rem & 15
-                w_sel = jnp.zeros((1, 2 * B), jnp.int32)
-                cum_sel = jnp.zeros((1, 2 * B), jnp.int32)
-                for w in range(8):
-                    is_w = widx == w
-                    w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
-                    cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
-                sh = 32 - 2 * rem16
-                mask_w = jnp.where(
-                    rem16 <= 0, 0,
-                    jax.lax.shift_left(jnp.full_like(sh, _FULL_I32),
-                                       jnp.clip(sh, 0, 31)))
-                for c in range(4):
-                    xc = w_sel ^ _PAT_I32[c]
-                    y = xc | lsr(xc, 1)
-                    match = (~y) & _EVEN_I32 & mask_w
-                    cnts.append((lsr(cum_sel, 8 * c) & 255)
-                                + jax.lax.population_count(match))
-            else:
-                cnts = [jnp.zeros((1, 2 * B), jnp.int32) for _ in range(4)]
-                for w in range(8):
-                    pw = jnp.clip(rem - 16 * w, 0, 16)
-                    sh = jnp.clip(32 - 2 * pw, 0, 31)
-                    mask_w = jnp.where(pw >= 16, _FULL_I32,
-                                       jax.lax.shift_left(
-                                           jnp.full_like(sh, _FULL_I32),
-                                           sh))
-                    mask_w = jnp.where(pw <= 0, 0, mask_w)
-                    x_w = gt[4 + w:5 + w]
-                    for c in range(4):
-                        xc = x_w ^ _PAT_I32[c]
-                        y = xc | lsr(xc, 1)
-                        match = (~y) & _EVEN_I32 & mask_w
-                        cnts[c] = cnts[c] + jax.lax.population_count(match)
+            for c in range(4):
+                xc = w_sel ^ _PAT_I32[c]
+                y = xc | lsr(xc, 1)
+                match = (~y) & _EVEN_I32 & mask_w
+                cnts.append((lsr(cum_sel, 8 * c) & 255)
+                            + jax.lax.population_count(match))
             occr = jnp.concatenate(
-                [ck_rows[c:c + 1] + cnts[c] for c in range(4)], axis=0)
+                [gl(c) + cnts[c] for c in range(4)], axis=0)
             L2r_ = [jnp.where(sel == 0, L2F[c], L2R[c]) for c in range(4)]
             return occr[:, :B], occr[:, B:], L2r_
 
@@ -1641,7 +1631,10 @@ def _width_kernel(params, tab, blocks, w_hbm, bid_hbm,
             kp = jnp.clip(kp, 0, n)
             blk = kp >> 7
             rem = kp - (blk << 7)
-            idxv[:] = jnp.clip(ss2 * NBP + blk, 0, 2 * NBP - 1)
+            # paired table: phys = idx >> 1, lane offset (idx & 1) * 64
+            lrow = jnp.clip(ss2 * NBP + blk, 0, 2 * NBP - 1)
+            l_odd = (lrow & 1) == 1
+            idxv[:] = lrow >> 1
             cpg = pltpu.make_async_copy(idxv, idxs, sem_g)
             cpg.start()
             cpg.wait()
@@ -1655,15 +1648,18 @@ def _width_kernel(params, tab, blocks, w_hbm, bid_hbm,
 
             jax.lax.fori_loop(0, (2 * WB) // 32, gbody, 0)
             gt = gth[:].T
-            ck_rows = gt[0:4]
+
+            def gl(i):  # logical-row element i per lane
+                return jnp.where(l_odd, gt[64 + i:65 + i], gt[i:i + 1])
+
             widx = rem >> 4
             rem16 = rem & 15
             w_sel = jnp.zeros((1, 2 * WB), jnp.int32)
             cum_sel = jnp.zeros((1, 2 * WB), jnp.int32)
             for w in range(8):
                 is_w = widx == w
-                w_sel = jnp.where(is_w, gt[4 + w:5 + w], w_sel)
-                cum_sel = jnp.where(is_w, gt[12 + w:13 + w], cum_sel)
+                w_sel = jnp.where(is_w, gl(4 + w), w_sel)
+                cum_sel = jnp.where(is_w, gl(12 + w), cum_sel)
             sh = 32 - 2 * rem16
             mask_w = jnp.where(
                 rem16 <= 0, 0,
@@ -1679,7 +1675,7 @@ def _width_kernel(params, tab, blocks, w_hbm, bid_hbm,
                 match = (~y) & _EVEN_I32 & mask_w
                 cnt = ((lsr(cum_sel, 8 * ch) & 255)
                        + jax.lax.population_count(match))
-                occ2 = ck_rows[ch:ch + 1] + cnt  # (1, 2WB)
+                occ2 = gl(ch) + cnt  # (1, 2WB)
                 is_c = ccl == ch
                 occk_c = jnp.where(is_c, occ2[:, :WB], occk_c)
                 occl_c = jnp.where(is_c, occ2[:, WB:], occl_c)
