@@ -656,14 +656,20 @@ def run_align(argv: list[str]) -> int:
     if not device_qc and engine_kind == "auto":
         # auto engine selection per backend (reference driver analog:
         # bin/FASTQuick_template.sh:465-496 always runs its one CPU
-        # engine; here a HEALTHY accelerator engages the device path).
-        # The probe runs out-of-process with a timeout -- a wedged relay
-        # hangs even jax.devices() -- so a sick TPU host degrades to the
-        # native engine instead of hanging the align.
+        # engine; here a HEALTHY, FAST-LINKED accelerator engages the
+        # device path).  The probe runs out-of-process with a timeout
+        # -- a wedged relay hangs even jax.devices() -- so a sick TPU
+        # host degrades to the native engine instead of hanging; the
+        # link-speed gate keeps native on network-relay-attached chips
+        # (H2D ~45 MB/s here made the device path 15x slower than
+        # native at production scale).  --device_qc forces the device
+        # path regardless.
         from ..utils.device import healthy_tpu
 
-        if healthy_tpu():
-            notice("Healthy accelerator found: engaging device QC path")
+        min_mbps = float(os.environ.get("FQ_MIN_H2D_MBPS", 500))
+        if healthy_tpu(min_h2d_mbps=min_mbps):
+            notice("Healthy accelerator on a fast link: engaging device "
+                   "QC path")
             device_qc = True
     if device_qc:
         # product-grade resident mode: device k-mer filter + device
