@@ -737,6 +737,8 @@ def run_align(argv: list[str]) -> int:
 
     isize_out.close()
     sam.close()
+    notice("BAM/SAM writer thread busy: %.2fs (record packing + deflate, "
+           "overlapped with the phases above)", sam.busy_s)
     t_tmp = realtime()
     if pl["shard_out"]:
         from ..stats.shard import save_shard

@@ -109,31 +109,67 @@ class SamWriter:
         import queue
         import threading
 
-        self._q: queue.Queue = queue.Queue(maxsize=self._QUEUE_MAX)
+        self._q: queue.Queue = queue.Queue(
+            maxsize=max(1, self._QUEUE_MAX // self._CHUNK))
         self._err: BaseException | None = None
+        self._pend: list[tuple] = []
+        self.busy_s = 0.0  # writer-thread busy time (untimed by phases)
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
 
     def _drain(self) -> None:
+        import time
+
         while True:
-            item = self._q.get()
-            if item is None:
+            chunk = self._q.get()
+            if chunk is None:
                 return
+            t0 = time.perf_counter()
             try:
                 if self._err is None:
-                    idx, p, q, opt = item
-                    self._write_one(idx, p, q, opt)
-                    if q is not None:
-                        self._write_one(idx, q, p, opt)
+                    if self._bam is not None:
+                        self._write_chunk_bam(chunk)
+                    else:
+                        for idx, p, q, opt in chunk:
+                            self._write_one(idx, p, q, opt)
+                            if q is not None:
+                                self._write_one(idx, q, p, opt)
             except BaseException as e:  # surfaced by close()
                 self._err = e
             finally:
+                self.busy_s += time.perf_counter() - t0
                 self._q.task_done()
+
+    # pairs per writer-queue item: record packing batches at this grain
+    # (the per-record packing cost is what the batch amortizes)
+    _CHUNK = 4096
 
     def write_pair(self, idx: ReducedIndex, p, q, opt: GapOpt) -> None:
         if self._err is not None:
             raise self._err
-        self._q.put((idx, p, q, opt))
+        self._pend.append((idx, p, q, opt))
+        if len(self._pend) >= self._CHUNK:
+            self._q.put(self._pend)
+            self._pend = []
+
+    def _write_chunk_bam(self, chunk: list[tuple]) -> None:
+        """Pack a chunk's records in order and hand them to the batched
+        BamWriter.write_records (one numpy pass per read length)."""
+        recs = []
+        for idx, p, q, opt in chunk:
+            ends = ((p, q), (q, p)) if q is not None else ((p, None),)
+            for a, b in ends:
+                fields = self._record(idx, a, b, opt, txt=False)
+                if fields is None:
+                    continue
+                (qname, flag, rname, pos, mapq, _cig_txt, rnext, pnext,
+                 tlen, seq, qual, _tags_text, tags_bin) = fields
+                cig = (a.cigar if (a.type != BWA_TYPE_NO_MATCH and a.cigar)
+                       else (None if a.type == BWA_TYPE_NO_MATCH
+                             else [(0, a.len)]))
+                recs.append((qname, flag, rname, pos, mapq, cig, rnext,
+                             pnext, tlen, seq, qual, tags_bin))
+        self._bam.write_records(recs)
 
     def _write_one(self, idx: ReducedIndex, p, mate, opt: GapOpt) -> None:
         fields = self._record(idx, p, mate, opt, txt=self._sam is not None)
@@ -287,6 +323,9 @@ class SamWriter:
                 tags_text, tags_bin)
 
     def close(self) -> None:
+        if self._pend:
+            self._q.put(self._pend)
+            self._pend = []
         self._q.put(None)
         self._worker.join()
         if self._bam is not None:

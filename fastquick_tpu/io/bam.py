@@ -125,6 +125,124 @@ class BamWriter:
         rec += name + cig + sq + ql + tags
         self._w.write(struct.pack("<i", len(rec)) + rec)
 
+    # packed record-header prefix (everything before the name), exactly
+    # the struct of write_record -- numpy structured dtype, unaligned
+    _HDR_DT = np.dtype([("refid", "<i4"), ("pos", "<i4"), ("lname", "u1"),
+                        ("mapq", "u1"), ("bin", "<u2"), ("ncig", "<u2"),
+                        ("flag", "<u2"), ("lseq", "<i4"), ("nref", "<i4"),
+                        ("npos", "<i4"), ("tlen", "<i4")])
+
+    def write_records(self, recs: list[tuple]) -> None:
+        """Batched write_record: same per-record bytes, one BGZF write.
+
+        Each item carries write_record's arguments.  The per-record
+        struct/numpy packing of write_record dominates the BAM writer
+        thread at production scale (~93us/record profiled); batching
+        moves the seq/qual nibble+phred packing to one whole-chunk numpy
+        pass per read length and the 32-byte headers to one structured
+        array, leaving only dict lookups and byte joins per record."""
+        n = len(recs)
+        if n == 0:
+            return
+        assert self._HDR_DT.itemsize == 32
+        hdr = np.zeros(n, dtype=self._HDR_DT)
+        names: list[bytes] = []
+        cigs: list[bytes] = []
+        tags_l: list[bytes] = []
+        sq_l: list[bytes | None] = [None] * n
+        ql_l: list[bytes | None] = [None] * n
+        # group vectorizable seq/qual rows by read length
+        by_len: dict[int, list[int]] = {}
+        cig_cache = self._cig_cache
+        tid = self.tid
+        for i, (qname, flag, rname, pos1, mapq, cigar, rnext, pnext1,
+                tlen, seq, qual) in enumerate(
+                    (r[:11] for r in recs)):
+            tags_l.append(recs[i][11])
+            refid = tid.get(rname, -1)
+            name = qname.encode() + b"\x00"
+            names.append(name)
+            if cigar:
+                key = tuple(map(tuple, cigar))
+                ent = cig_cache.get(key)
+                if ent is None:
+                    cig = b"".join(
+                        struct.pack("<I", (ln << 4) | FROM_TO_BAM[op])
+                        for op, ln in cigar)
+                    span = sum(ln for op, ln in cigar if op in (0, 2))
+                    if len(cig_cache) > 1 << 16:
+                        cig_cache.clear()
+                    ent = cig_cache.setdefault(key, (cig, len(cigar), span))
+                cig, n_cigar, span = ent
+            else:
+                cig, n_cigar, span = b"", 0, None
+            cigs.append(cig)
+            if isinstance(seq, np.ndarray):
+                l_seq = len(seq)
+                by_len.setdefault(l_seq, []).append(i)
+            else:
+                l_seq = 0 if seq in ("*", "") else len(seq)
+                sq_l[i] = pack_seq_nibbles(seq) if l_seq else b""
+            if l_seq:
+                if qual is None:
+                    ql_l[i] = b"\xff" * l_seq
+                elif isinstance(qual, str):
+                    ql_l[i] = (b"\xff" * l_seq if qual == "*" else
+                               (np.frombuffer(qual.encode("latin1"),
+                                              dtype=np.uint8)
+                                - 33).astype(np.uint8).tobytes())
+                elif not isinstance(seq, np.ndarray):
+                    # str seq + array qual: no grouped pass for this row
+                    ql_l[i] = (qual.astype(np.uint8) - 33).tobytes()
+                # ndarray-seq rows' array quals ride the grouped pass
+            else:
+                sq_l[i] = b""
+                ql_l[i] = b""
+            pos = pos1 - 1
+            if span is not None:
+                end = pos + span
+            elif l_seq:
+                end = pos + l_seq
+            else:
+                end = pos + 1
+            hdr[i] = (refid, pos, len(name), mapq,
+                      reg2bin(max(pos, 0), max(end, 1)), n_cigar, flag,
+                      l_seq, refid if rnext == "=" else tid.get(rnext, -1),
+                      pnext1 - 1, tlen)
+        for L, idxs in by_len.items():
+            g = len(idxs)
+            M = np.empty((g, L), dtype=np.uint8)
+            Q = np.empty((g, L), dtype=np.uint8)
+            any_q = False
+            for k, i in enumerate(idxs):
+                M[k] = recs[i][9]
+                q = recs[i][10]
+                if isinstance(q, np.ndarray):
+                    Q[k] = q
+                    any_q = True
+            nib = _CODE_NIBBLE[M]
+            if L % 2:
+                nib = np.concatenate(
+                    [nib, np.zeros((g, 1), np.uint8)], axis=1)
+            packed = ((nib[:, 0::2] << 4) | nib[:, 1::2]).astype(np.uint8)
+            pb = packed.tobytes()
+            W = (L + 1) // 2
+            qb = (Q - 33).tobytes() if any_q else b""
+            for k, i in enumerate(idxs):
+                sq_l[i] = pb[k * W:(k + 1) * W]
+                if ql_l[i] is None:
+                    ql_l[i] = qb[k * L:(k + 1) * L]
+        hb = hdr.tobytes()
+        parts: list[bytes] = []
+        for i in range(n):
+            tail = names[i] + cigs[i] + sq_l[i] + ql_l[i] + tags_l[i]
+            parts.append((32 + len(tail)).to_bytes(4, "little", signed=True))
+            parts.append(hb[32 * i:32 * i + 32])
+            parts.append(tail)
+        self._w.write(b"".join(parts))
+
+    _cig_cache: dict[tuple, tuple[bytes, int, int]] = {}
+
     def close(self) -> None:
         self._w.close()
 
