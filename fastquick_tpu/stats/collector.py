@@ -168,6 +168,36 @@ def _materialize(p) -> tuple[np.ndarray, np.ndarray]:
     return seq_np, qual
 
 
+def _parse_mismatch_md(md: str, length: int):
+    """Mismatch (offset, ref-letter) pairs of a deletion-free MD string
+    ("12A3T0..."), or None if the string has any other shape (the
+    caller then takes the generic per-read path).  For cigar-less
+    full-length reads the reference-relative offset equals the
+    read-relative one, so the slab can place the mismatches directly."""
+    out = []
+    off = 0
+    i = 0
+    nn = len(md)
+    while i < nn:
+        j = i
+        while j < nn and md[j].isdigit():
+            j += 1
+        if j == i:
+            return None
+        off += int(md[i:j])
+        i = j
+        if i < nn:
+            c = md[i]
+            if c == "^":
+                return None
+            out.append((off, c.upper()))
+            off += 1
+            i += 1
+    if off != length:
+        return None
+    return out
+
+
 class StatCollector:
     def __init__(self):
         self._sites = None  # DenseSites, built lazily (after target join)
@@ -487,12 +517,31 @@ class StatCollector:
         site0 = np.empty(n, dtype=np.int64)
         rlen = np.empty(n, dtype=np.int64)
         groups: dict[str, list[int]] = {}
+        # pure-mismatch reads joining the slab: row -> kept mismatch
+        # offsets (read bases != N, ref letters != N; the dbsnp and
+        # in-region gates apply vectorized inside the slab)
+        mm_offs: dict[int, np.ndarray] = {}
         for i, (p, chrom, site) in enumerate(q):
             site0[i] = site
             rlen[i] = p.len
             if p.cigar is None and p.len == p.full_len:
                 if p.md.isdigit():
                     simple[i] = True
+                elif dev is None:
+                    # ungapped untrimmed read with mismatches: the slab
+                    # computes the same depth/q20/q30/emp sums; only the
+                    # mis_emp_* contributions need the MD's mismatch
+                    # offsets (ref == read everywhere else)
+                    mm = _parse_mismatch_md(p.md, p.len)
+                    if mm is not None:
+                        fl = p.full_len
+                        keep = [off for off, refc in mm
+                                if refc != "N"
+                                and (p.seq[fl - 1 - off] if p.strand
+                                     else p.seq[off]) != 4]
+                        simple[i] = True
+                        if keep:
+                            mm_offs[i] = np.asarray(keep, dtype=np.int64)
                 # device dense backend handles every ungapped untrimmed
                 # read (mismatches included: the device text-vs-read
                 # compare equals the MD-recovered reference for these);
@@ -563,20 +612,44 @@ class StatCollector:
                 dense = (offsets[ivc] - starts[ivc])[:, None] + posm
                 Q = np.zeros((m, Lmax), dtype=np.int64)
                 strands = np.zeros(m, dtype=bool)
+                # grouped quals: stack rows of equal length and reverse
+                # the strand rows in one vectorized pass (the per-row
+                # assignment loop was ~40% of this function's self time)
+                by_len: dict[int, list[int]] = {}
+                quals: list = [None] * m
+                mis_r: list[np.ndarray] = []
+                mis_o: list[np.ndarray] = []
                 for k in range(m):
-                    p = q[rs[k]][0]
-                    l = int(L[k])
-                    if p.strand:
-                        Q[k, :l] = p.qual[:l][::-1]
-                        strands[k] = True
-                    else:
-                        Q[k, :l] = p.qual[:l]
+                    ri = rs[k]
+                    p = q[ri][0]
+                    strands[k] = bool(p.strand)
+                    quals[k] = p.qual
+                    by_len.setdefault(int(L[k]), []).append(k)
+                    offs = mm_offs.get(int(ri))
+                    if offs is not None:
+                        mis_r.append(np.full(len(offs), k, dtype=np.int64))
+                        mis_o.append(offs)
+                for l, ks in by_len.items():
+                    G = np.stack([quals[k][:l] for k in ks]).astype(np.int64)
+                    ksa = np.asarray(ks, dtype=np.int64)
+                    rev = strands[ksa]
+                    Q[ksa[:, None], np.arange(l)[None, :]] = np.where(
+                        rev[:, None], G[:, ::-1], G)
                 Q -= 33
                 cyc = np.where(strands[:, None],
                                (L - 1)[:, None] - ar[None, :], ar[None, :])
                 self._pend_idx.append(dense[inreg])
                 self._pend_bq.append(Q[inreg])
                 self._pend_cycles.append(cyc[inreg])
+                if mis_r:
+                    mr = np.concatenate(mis_r)
+                    mo = np.concatenate(mis_o)
+                    sel = inreg[mr, mo]
+                    mr, mo = mr[sel], mo[sel]
+                    dmis = dense[mr, mo]
+                    ok = ~self.sites.dbsnp[dmis]
+                    self._pend_mis_bq.append(Q[mr, mo][ok])
+                    self._pend_mis_cycles.append(cyc[mr, mo][ok])
 
     def process_pair_status(self, idx: ReducedIndex, p, q, type_: str,
                             fout) -> int:
