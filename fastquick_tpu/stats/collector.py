@@ -569,14 +569,18 @@ class StatCollector:
             c = sites._fast.get(chrom)
             if c is None or len(srows) == 0:
                 continue
-            starts = c[0]
+            starts, ends = c[0], c[1]
             s0 = site0[srows] - 1
-            iv0 = np.searchsorted(starts, s0, side="right") - 1
-            iv1 = np.searchsorted(starts, s0 + rlen[srows] - 1,
-                                  side="right") - 1
-            span = iv0 != iv1  # touches >1 candidate region: per-read path
-            vec_rows[chrom] = srows[~span]
-            simple[srows[span]] = False
+            e0 = s0 + rlen[srows]  # exclusive 0-based read end
+            # overlapped-region range [lo_r, hi_r]: only reads touching
+            # >= 2 regions need the per-read walk; a read that merely
+            # STARTS before its single region (partial overlap) is
+            # handled by the slab's positional mask
+            lo_r = np.searchsorted(ends, s0, side="right")
+            hi_r = np.searchsorted(starts, e0, side="left") - 1
+            multi = hi_r > lo_r
+            vec_rows[chrom] = srows[~multi]
+            simple[srows[multi]] = False
 
         # in-order pass: marker pileups + the non-simple remainder
         for i, (p, chrom, site) in enumerate(q):
@@ -599,8 +603,11 @@ class StatCollector:
                 m = len(rs)
                 s0 = site0[rs] - 1
                 L = rlen[rs]
-                iv = np.searchsorted(starts, s0, side="right") - 1
-                has = iv >= 0
+                # candidate region: the first one ending after the read
+                # start (== the single overlapped region for rows the
+                # multi gate kept; rows overlapping nothing mask to 0)
+                iv = np.searchsorted(ends, s0, side="right")
+                has = iv < len(starts)
                 ivc = np.clip(iv, 0, len(starts) - 1)
                 Lmax = int(L.max())
                 ar = np.arange(Lmax, dtype=np.int64)
