@@ -50,30 +50,55 @@ def suffix_array(t: np.ndarray) -> np.ndarray:
     n = len(t)
     if n == 0:
         return np.zeros(1, dtype=np.int64)
-    rank = t.copy()
-    k = 1
-    while True:
-        key2 = np.full(n, -1, dtype=np.int64)
-        if k < n:
-            key2[: n - k] = rank[k:]
-        order = np.lexsort((key2, rank))
+    # Manber-Myers doubling with the derived-order trick: an array
+    # sorted by the suffix rank at offset +k is obtained from the
+    # previous (rank-sorted) order in O(n) (suffixes starting in the
+    # last k positions first, then prior order shifted), so each round
+    # needs only ONE stable integer argsort by the primary rank instead
+    # of a two-key lexsort.  torch's multithreaded stable sort (CPU)
+    # is ~3x numpy's here (numpy fallback kept); ranks ride int32 and
+    # the doubling starts at k=8 from base-5 8-mer values (digit 0 =
+    # past-the-end, so shorter suffixes sort first, exactly the -1
+    # sentinel semantics).
+    try:
+        import torch
+
+        def _stable_argsort(v):
+            return torch.argsort(torch.from_numpy(v), stable=True).numpy()
+    except Exception:  # pragma: no cover
+        def _stable_argsort(v):
+            return np.argsort(v, kind="stable")
+
+    pad = np.zeros(n + 8, dtype=np.int32)
+    pad[:n] = t + 1
+    val = pad[:n].copy()
+    for j in range(1, 8):
+        val *= 5
+        val += pad[j:j + n]
+    order = _stable_argsort(val).astype(np.int32)
+    v_ord = val[order]
+    diff = np.empty(n, dtype=np.int32)
+    diff[0] = 0
+    diff[1:] = v_ord[1:] != v_ord[:-1]
+    rank = np.empty(n, dtype=np.int32)
+    rank[order] = np.cumsum(diff, dtype=np.int32)
+    k = 8
+    while rank[order[-1]] != n - 1 and k < n:
+        # indices sorted by secondary key rank[i+k] (-1 beyond the end)
+        order2 = np.concatenate([np.arange(n - k, n, dtype=np.int32),
+                                 order[order >= k] - np.int32(k)])
+        order = order2[_stable_argsort(rank[order2])].astype(np.int32)
+        key2 = np.full(n, -1, dtype=np.int32)
+        key2[: n - k] = rank[k:]
         r_ord = rank[order]
         k2_ord = key2[order]
-        diff = np.empty(n, dtype=np.int64)
         diff[0] = 0
-        neq = (r_ord[1:] != r_ord[:-1]) | (k2_ord[1:] != k2_ord[:-1])
-        diff[1:] = neq
-        new_rank = np.empty(n, dtype=np.int64)
-        new_rank[order] = np.cumsum(diff)
+        diff[1:] = (r_ord[1:] != r_ord[:-1]) | (k2_ord[1:] != k2_ord[:-1])
+        new_rank = np.empty(n, dtype=np.int32)
+        new_rank[order] = np.cumsum(diff, dtype=np.int32)
         rank = new_rank
-        if rank[order[-1]] == n - 1:
-            sa = order
-            break
         k <<= 1
-        if k >= n:
-            sa = order
-            break
-    return np.concatenate([[n], sa]).astype(np.int64)
+    return np.concatenate([[n], order]).astype(np.int64)
 
 
 def pack_2bit_words(codes: np.ndarray) -> np.ndarray:

@@ -420,14 +420,9 @@ class RefBuilder:
         is_gc = ((arr == ord("G")) | (arr == ord("C"))
                  | (arr == ord("g")) | (arr == ord("c"))).astype(np.int32)
         cs = np.concatenate([[0], np.cumsum(is_gc)])
-        out = np.zeros(2 * flank + 1, dtype=np.uint8)
-        for t, i in enumerate(range(pos - flank, pos + flank + 1)):
-            # window for position i is [i-50, i+49] clamped;
-            # arr[0] corresponds to genome position lo + clamp_shift
-            a = (i - 50) - (lo + clamp_shift)
-            b = (i + 49) - (lo + clamp_shift) + 1
-            a = max(0, a)
-            b = min(len(arr), b)
-            if b > a:
-                out[t] = cs[b] - cs[a]
-        return out
+        # window for position i is [i-50, i+49] clamped;
+        # arr[0] corresponds to genome position lo + clamp_shift
+        i = np.arange(pos - flank, pos + flank + 1, dtype=np.int64)
+        a = np.clip((i - 50) - (lo + clamp_shift), 0, len(arr))
+        b = np.clip((i + 49) - (lo + clamp_shift) + 1, 0, len(arr))
+        return np.where(b > a, cs[b] - cs[a], 0).astype(np.uint8)
