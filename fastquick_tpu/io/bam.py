@@ -67,6 +67,8 @@ class BamWriter:
                  refs: list[tuple[str, int]]):
         self._w = BgzfWriter(path)
         self.tid = {name: i for i, (name, _) in enumerate(refs)}
+        # per-writer keyed cigar-bytes cache: (ops) -> (bytes, n, span)
+        self._cig_cache: dict[tuple, tuple[bytes, int, int]] = {}
         hdr = header_text.encode()
         out = b"BAM\x01" + struct.pack("<i", len(hdr)) + hdr
         out += struct.pack("<i", len(refs))
@@ -81,49 +83,10 @@ class BamWriter:
                      tags: bytes) -> None:
         """pos1/pnext1 are 1-based (0 = unmapped '*').  seq is a str or
         an encoded (0..4) uint8 array; qual a str or phred+33 uint8
-        array (the array forms skip a string round-trip)."""
-        refid = self.tid.get(rname, -1)
-        next_refid = refid if rnext == "=" else self.tid.get(rnext, -1)
-        pos = pos1 - 1
-        next_pos = pnext1 - 1
-        name = qname.encode() + b"\x00"
-        cig = b""
-        n_cigar = 0
-        if cigar:
-            n_cigar = len(cigar)
-            for op, ln in cigar:
-                cig += struct.pack("<I", (ln << 4) | FROM_TO_BAM[op])
-        if isinstance(seq, str):
-            l_seq = 0 if seq == "*" else len(seq)
-            sq = pack_seq_nibbles(seq) if l_seq else b""
-        else:
-            l_seq = len(seq)
-            sq = pack_code_nibbles(seq)
-        if l_seq:
-            if qual is None:
-                ql = b"\xff" * l_seq
-            elif isinstance(qual, str):
-                ql = (b"\xff" * l_seq if qual == "*" else
-                      (np.frombuffer(qual.encode("latin1"), dtype=np.uint8)
-                       - 33).astype(np.uint8).tobytes())
-            else:
-                ql = (qual.astype(np.uint8) - 33).tobytes()
-        else:
-            sq = b""
-            ql = b""
-        end = pos + 1
-        if cigar:
-            end = pos
-            for op, ln in cigar:
-                if op in (0, 2):
-                    end += ln
-        elif l_seq:
-            end = pos + l_seq
-        rec = struct.pack("<iiBBHHHiiii", refid, pos, len(name),
-                          mapq, reg2bin(max(pos, 0), max(end, 1)), n_cigar,
-                          flag, l_seq, next_refid, next_pos, tlen)
-        rec += name + cig + sq + ql + tags
-        self._w.write(struct.pack("<i", len(rec)) + rec)
+        array (the array forms skip a string round-trip).  One shared
+        encoder: delegates to the batched write_records."""
+        self.write_records([(qname, flag, rname, pos1, mapq, cigar,
+                             rnext, pnext1, tlen, seq, qual, tags)])
 
     # packed record-header prefix (everything before the name), exactly
     # the struct of write_record -- numpy structured dtype, unaligned
@@ -220,6 +183,9 @@ class BamWriter:
                 if isinstance(q, np.ndarray):
                     Q[k] = q
                     any_q = True
+                elif ql_l[i] is None:  # loud like the unbatched path was
+                    raise TypeError(
+                        f"unsupported qual type {type(q).__name__}")
             nib = _CODE_NIBBLE[M]
             if L % 2:
                 nib = np.concatenate(
@@ -240,8 +206,6 @@ class BamWriter:
             parts.append(hb[32 * i:32 * i + 32])
             parts.append(tail)
         self._w.write(b"".join(parts))
-
-    _cig_cache: dict[tuple, tuple[bytes, int, int]] = {}
 
     def close(self) -> None:
         self._w.close()

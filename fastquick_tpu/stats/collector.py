@@ -640,8 +640,7 @@ class StatCollector:
                     G = np.stack([quals[k][:l] for k in ks]).astype(np.int64)
                     ksa = np.asarray(ks, dtype=np.int64)
                     rev = strands[ksa]
-                    Q[ksa[:, None], np.arange(l)[None, :]] = np.where(
-                        rev[:, None], G[:, ::-1], G)
+                    Q[ksa, :l] = np.where(rev[:, None], G[:, ::-1], G)
                 Q -= 33
                 cyc = np.where(strands[:, None],
                                (L - 1)[:, None] - ar[None, :], ar[None, :])
