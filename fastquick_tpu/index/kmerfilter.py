@@ -142,15 +142,18 @@ class KmerFilterBuilder:
             last_regs = (r, min(half + KMER_SIZE, n))
             if vals:
                 inserted.append(np.array(vals, dtype=_U64))
-        # Phase 3: continue from last allele's register
+        # Phase 3: continue from last allele's register.  The 64-bit
+        # register holds exactly the last 32 pushed values (the seed --
+        # allele included -- is fully shifted out after KMER_SIZE
+        # pushes, and every window here starts past the allele slot),
+        # so the continuation equals the plain stream registers: a
+        # slice of the regs already computed above replaces the
+        # per-base python fold (~220 iterations/strand at 501bp flanks,
+        # the largest k-mer registration cost in the index build).
         if last_regs is not None:
-            r, start = last_regs
-            vals = []
-            for i in range(start, n):
-                r = ((r << 2) | int(codes[i])) & 0xFFFFFFFFFFFFFFFF
-                vals.append(r)
-            if vals:
-                inserted.append(np.array(vals, dtype=_U64))
+            _r, start = last_regs
+            if start < n:
+                inserted.append(regs[start:n])
         if not inserted:
             return
         kmers = np.concatenate(inserted)
