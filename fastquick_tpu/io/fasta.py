@@ -67,19 +67,15 @@ class FastaFile:
         fin = min(e.length, end)  # inclusive 1-based => exclusive 0-based
         if beg >= fin:
             return ""
-        out = []
         # translate sequence offset -> file offset accounting for newlines
         first_line = beg // e.line_bases
         self._fh.seek(e.offset + first_line * e.line_bytes + (beg % e.line_bases))
         need = fin - beg
         raw = self._fh.read(need + (need // e.line_bases + 2) * (e.line_bytes - e.line_bases))
-        for b in raw.decode("ascii"):
-            if b in "\r\n":
-                continue
-            out.append(b)
-            if len(out) == need:
-                break
-        return "".join(out)
+        # C-speed newline strip; the first `need` non-newline bytes are
+        # in-sequence (fin is clamped to the record), so any trailing
+        # next-record bytes in the over-read fall off the slice
+        return raw.translate(None, b"\r\n")[:need].decode("ascii")
 
     def fetch_region(self, chrom: str, start: int, end: int) -> str:
         """fai_fetch with the reference's chr-prefix fallback; raises if absent."""
