@@ -25,7 +25,7 @@ N_PAIRS = 128  # 2*128 reads = 256 lanes; covers markers 0-9 incl. the
                # duplicated (c1 == 2) pair (4, 5) of the drand48 world
 
 
-def _accs(world, fmtab, nbp, pool, step_cap):
+def _accs(world, fmtab, nbp, pool, step_cap, fb_fill=None, per_read=False):
     from fastquick_tpu.align.opts import PeOpt, bwa_cal_maxdiff
     from fastquick_tpu.ops.fm import DeviceFM
     from fastquick_tpu.ops.qc_full import (build_site_tables,
@@ -71,17 +71,25 @@ def _accs(world, fmtab, nbp, pool, step_cap):
     md_t = jnp.asarray(md_np)
 
     @jax.jit
-    def step(s, r, q, ln):
+    def step(s, r, q, ln, fbf):
         return qc_step_full(fm, tables, opt_args, s, r, q, ln,
                             bitmaps=None, md_table=md_t,
-                            pair_mode=True, fmtab=fmtab, nbp=nbp)
+                            pair_mode=True, fmtab=fmtab, nbp=nbp,
+                            fb_fill=fbf, return_per_read=per_read)
 
+    fbf = None
+    if fb_fill is not None:
+        fbf = (jnp.asarray(fb_fill[0]), jnp.asarray(fb_fill[1]))
     acc = step(jnp.asarray(seqs), jnp.asarray(rseqs),
-               jnp.asarray(quals), jnp.asarray(lens))
+               jnp.asarray(quals), jnp.asarray(lens), fbf)
+    pr = None
+    if per_read:
+        acc, pr = acc
     acc["n_pcr_dup"] = count_pcr_dups(acc.pop("_pair_keys"))
-    return {k: np.asarray(v) if not isinstance(v, dict)
-            else {kk: np.asarray(vv) for kk, vv in v.items()}
-            for k, v in acc.items()}
+    out = {k: np.asarray(v) if not isinstance(v, dict)
+           else {kk: np.asarray(vv) for kk, vv in v.items()}
+           for k, v in acc.items()}
+    return (out, pr) if per_read else out
 
 
 def test_resident_qc_matches_xla(world):  # noqa: F811
@@ -97,6 +105,10 @@ def test_resident_qc_matches_xla(world):  # noqa: F811
     a_x = _accs(world, None, 0, pool=512, step_cap=768)
     a_r = _accs(world, jnp.asarray(tab), nbp, pool=512, step_cap=768)
     assert int(a_x["n_mapped"]) > 0
+    _assert_accs_equal(a_x, a_r)
+
+
+def _assert_accs_equal(a_x, a_r):
     bad = []
     for k in sorted(a_x):
         if k == "n_fallback":
@@ -110,3 +122,54 @@ def test_resident_qc_matches_xla(world):  # noqa: F811
         elif not np.array_equal(vx, vr):
             bad.append(k)
     assert not bad, f"resident != xla on accumulators: {bad}"
+
+
+def test_resident_qc_matches_xla_under_forced_fallback(world):  # noqa: F811
+    """The pod-scale resident path WITH fallback present: a tiny pool
+    forces kernel fallback, the fallback reads' host-exact hit lists
+    ride `fb_fill` (the two-dispatch product recipe), and the resident
+    formulation must match the XLA one on every accumulator -- chained
+    with test_drand48_qc's host differential this pins
+    resident+fb_fill == XLA+fb_fill == host rows."""
+    from fastquick_tpu.align.engine import HostEngine
+    from fastquick_tpu.ops.fm import DeviceFM
+    from fastquick_tpu.ops.qc_full import pack_host_hits
+    from fastquick_tpu.ops.search_pallas import pack_fm_table
+
+    idx, opt, new_ref = _load(world)
+    dev = DeviceFM.build(idx.fm_fwd, idx.fm_rev)
+    tab, nbp = pack_fm_table(dev)
+    fmtab = jnp.asarray(tab)
+
+    # pass 1 (XLA): tiny pool -> some reads overflow to fallback
+    a_x1, pr = _accs(world, None, 0, pool=96, step_cap=768, per_read=True)
+    fb_mask = np.asarray(pr["fallback"]) != 0
+    assert fb_mask.any(), "pool=96 forced no fallback; test is vacuous"
+
+    # the resident kernel must overflow the SAME reads at matched pool
+    a_r1, pr_r = _accs(world, fmtab, nbp, pool=96, step_cap=768,
+                       per_read=True)
+    assert np.array_equal(fb_mask, np.asarray(pr_r["fallback"]) != 0)
+
+    # host-exact hit lists for the fallback rows
+    b0, b1 = _read_pairs(world, idx, opt)
+    b0, b1 = b0[:N_PAIRS], b1[:N_PAIRS]
+    eng = HostEngine(idx)
+    eng.align_batch([p for p in b0 if not p.filtered], opt)
+    eng.align_batch([p for p in b1 if not p.filtered], opt)
+    flat = []
+    for i in range(N_PAIRS):
+        flat.append(b0[i])
+        flat.append(b1[i])
+    rows_idx = [b for b in range(len(flat)) if fb_mask[b]]
+    fb_n, fb_rows = pack_host_hits([flat[b] for b in rows_idx], rows_idx,
+                                   fb_mask.shape[0])
+
+    # pass 2: fills in -> zero effective fallback, both formulations
+    a_x = _accs(world, None, 0, pool=96, step_cap=768,
+                fb_fill=(fb_n, fb_rows))
+    a_r = _accs(world, fmtab, nbp, pool=96, step_cap=768,
+                fb_fill=(fb_n, fb_rows))
+    assert int(a_x["n_fallback"]) == 0
+    assert int(a_r["n_fallback"]) == 0
+    _assert_accs_equal(a_x, a_r)
